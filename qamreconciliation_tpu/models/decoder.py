@@ -1,0 +1,343 @@
+"""Syndrome belief-propagation LDPC decoder, TPU-native.
+
+Re-designs the reference's scalar flooding decoder
+(reference: qamreconciliation/decoder.pyx:92-455) as a batched dual-layout
+message-passing engine:
+
+* The Tanner graph's jagged ``long**`` adjacency tables
+  (reference: qamreconciliation/decoder.pyx:60-89) become **static padded
+  dense layouts**: variable-major ``[V, dv_max]`` and check-major
+  ``[C, dc_max]`` slot grids plus two flat permutation maps between them.
+* Messages are stored as ``[slots, B]`` arrays with the frame batch ``B`` in
+  the trailing (lane) dimension, so each of the two gathers per BP iteration
+  moves whole 128-wide lanes — there are **no scatters** in the hot loop.
+* The check-node update uses the sign/phi sum-product form
+  (see ops/boxplus.py), turning the reference's per-node forward/backward
+  box-plus scans into one dense masked reduction.
+* Iteration control is a ``lax.while_loop`` with a per-frame done mask,
+  reproducing the reference's convergence semantics
+  (reference: qamreconciliation/decoder.pyx:391-436): ``iters == 0`` and LLR
+  passthrough for an already-consistent input, ``success=0`` with
+  ``iters == max_iterations`` on failure, final LLRs always produced.
+"""
+
+from __future__ import annotations
+
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_DTYPE, INDEX_DTYPE
+from ..ops.boxplus import check_node_update, var_node_update, box_plus
+
+__all__ = ["TannerGraph", "Decoder"]
+
+
+def _slot_positions(ids: np.ndarray) -> np.ndarray:
+    """Position of each element within its id-group, in original order.
+
+    For ids = [0,0,1,0,1] returns [0,1,0,2,1].  Matches the reference's
+    adjacency construction order: edges appear in each node's table in
+    increasing edge-id order (reference: qamreconciliation/decoder.pyx:69-87).
+    """
+    order = np.argsort(ids, kind="stable")
+    sorted_ids = ids[order]
+    first_idx = np.concatenate(
+        [[0], np.flatnonzero(sorted_ids[1:] != sorted_ids[:-1]) + 1]
+    )
+    group_first = np.repeat(
+        first_idx, np.diff(np.concatenate([first_idx, [sorted_ids.size]]))
+    )
+    pos_sorted = np.arange(sorted_ids.size) - group_first
+    pos = np.empty_like(pos_sorted)
+    pos[order] = pos_sorted
+    return pos
+
+
+class TannerGraph:
+    """Static dual-layout metadata for one LDPC code.
+
+    Built once per code on the host (numpy); the index arrays are embedded as
+    constants into every jitted decode/syndrome function.
+
+    Attributes:
+      vnum, cnum, ednum: node/edge counts (``max(id)+1`` inference, matching
+        reference: qamreconciliation/matrix.pyx:31-32).
+      dv_max, dc_max: maximum node degrees (padding widths).
+      c_from_v [C*dc_max]: for each check-major slot, the var-major flat slot
+        holding the same edge (padding -> 0, masked).
+      v_from_c [V*dv_max]: inverse map (padding -> 0, masked).
+      v_mask [V, dv_max], c_mask [C, dc_max]: 1.0 real / 0.0 pad.
+      c_vids [C, dc_max]: variable index per check slot (padding -> 0, masked).
+      var_slot_of_edge, chk_slot_of_edge [E]: edge-array <-> layout bridges,
+        used by the API-parity helpers that speak the reference's
+        edge-indexed message format.
+    """
+
+    def __init__(self, e_to_v, e_to_c):
+        vid = np.asarray(e_to_v, dtype=np.int64).reshape(-1)
+        cid = np.asarray(e_to_c, dtype=np.int64).reshape(-1)
+        if vid.size != cid.size:
+            raise ValueError("Sizes don't match")
+
+        self.ednum = int(vid.size)
+        self.vnum = int(vid.max()) + 1
+        self.cnum = int(cid.max()) + 1
+
+        v_pos = _slot_positions(vid)
+        c_pos = _slot_positions(cid)
+        self.dv = np.bincount(vid, minlength=self.vnum)
+        self.dc = np.bincount(cid, minlength=self.cnum)
+        self.dv_max = int(self.dv.max())
+        self.dc_max = int(self.dc.max())
+
+        var_slot = vid * self.dv_max + v_pos   # flat var-major slot per edge
+        chk_slot = cid * self.dc_max + c_pos   # flat check-major slot per edge
+
+        c_from_v = np.zeros(self.cnum * self.dc_max, dtype=np.int64)
+        c_from_v[chk_slot] = var_slot
+        v_from_c = np.zeros(self.vnum * self.dv_max, dtype=np.int64)
+        v_from_c[var_slot] = chk_slot
+
+        v_mask = np.zeros(self.vnum * self.dv_max, dtype=np.float64)
+        v_mask[var_slot] = 1.0
+        c_mask = np.zeros(self.cnum * self.dc_max, dtype=np.float64)
+        c_mask[chk_slot] = 1.0
+
+        c_vids = np.zeros(self.cnum * self.dc_max, dtype=np.int64)
+        c_vids[chk_slot] = vid
+
+        self.e_to_v = vid
+        self.e_to_c = cid
+        self.var_slot_of_edge = var_slot
+        self.chk_slot_of_edge = chk_slot
+        self._c_from_v = jnp.asarray(c_from_v, INDEX_DTYPE)
+        self._v_from_c = jnp.asarray(v_from_c, INDEX_DTYPE)
+        self._c_vids = jnp.asarray(c_vids, INDEX_DTYPE)
+        self._v_mask_np = v_mask.reshape(self.vnum, self.dv_max)
+        self._c_mask_np = c_mask.reshape(self.cnum, self.dc_max)
+        self._mask_cache = {}
+
+    def _masks(self, dtype_name: str):
+        """Device mask pair for a dtype.
+
+        Must be first called OUTSIDE any jit trace (the cache would otherwise
+        capture tracer constants); Decoder materializes them eagerly.
+        """
+        cached = self._mask_cache.get(dtype_name)
+        if cached is None:
+            dtype = jnp.dtype(dtype_name)
+            cached = (
+                jnp.asarray(self._v_mask_np, dtype),
+                jnp.asarray(self._c_mask_np, dtype),
+            )
+            self._mask_cache[dtype_name] = cached
+        return cached
+
+    # ------------------------------------------------------------------ #
+    # Layout conversions
+
+    def permute_v_to_c(self, flat_v):
+        """[V*dv_max, B] var-major -> [C, dc_max, B] check-major."""
+        return flat_v[self._c_from_v].reshape(self.cnum, self.dc_max, -1)
+
+    def permute_c_to_v(self, flat_c):
+        """[C*dc_max, B] check-major -> [V, dv_max, B] var-major."""
+        return flat_c[self._v_from_c].reshape(self.vnum, self.dv_max, -1)
+
+    # ------------------------------------------------------------------ #
+
+    def syndrome_from_bits(self, bits):
+        """Syndrome of hard bits: parity over each check's neighborhood.
+
+        bits: [V, B] int32 (0/1) -> [C, B] int32.  Gather + masked popcount
+        replaces the reference's XOR scatter over edges
+        (reference: qamreconciliation/matrix.pyx:55-60).
+        """
+        mask = jnp.asarray(self._c_mask_np, jnp.int32).reshape(-1)[:, None]
+        gathered = bits[self._c_vids] * mask          # [C*dc_max, B]
+        sums = gathered.reshape(self.cnum, self.dc_max, -1).sum(axis=1)
+        return sums & 1
+
+    def lappr_consistent(self, total, synd):
+        """Per-frame syndrome test of hard decisions from LLRs.
+
+        bit = 1 iff lappr < 0 (reference: qamreconciliation/decoder.pyx:235-248).
+        total: [V, B]; synd: [C, B] -> ok: [B] bool.
+        """
+        bits = (total < 0).astype(jnp.int32)
+        return jnp.all(self.syndrome_from_bits(bits) == synd.astype(jnp.int32), axis=0)
+
+
+class Decoder:
+    """Flooding sum-product syndrome decoder over a :class:`TannerGraph`.
+
+    Constructor signature mirrors the reference
+    (``Decoder(e_to_v, e_to_c)``, reference: qamreconciliation/decoder.pyx:93).
+    """
+
+    def __init__(self, e_to_v, e_to_c, dtype=DEFAULT_DTYPE):
+        self.graph = TannerGraph(e_to_v, e_to_c)
+        self.dtype = jnp.dtype(dtype)
+        self._decode_jit = None
+
+    # Properties: reference qamreconciliation/decoder.pyx:157-172
+    @property
+    def cnum(self):
+        return self.graph.cnum
+
+    @property
+    def vnum(self):
+        return self.graph.vnum
+
+    @property
+    def ednum(self):
+        return self.graph.ednum
+
+    # ------------------------------------------------------------------ #
+    # Core batched decode
+
+    def _build_decode(self):
+        g = self.graph
+        dtype = self.dtype
+        v_mask, c_mask = g._masks(str(dtype))  # eager: concrete device arrays
+
+        def decode_batched(prior_vb, synd_cb, max_iterations):
+            """prior [V, B], synd [C, B] -> (success [B], iters [B], final [V, B])."""
+            synd_cb = synd_cb.astype(jnp.int32)
+
+            done0 = g.lappr_consistent(prior_vb, synd_cb)
+
+            B = prior_vb.shape[1]
+            v2c0 = jnp.broadcast_to(
+                prior_vb[:, None, :], (g.vnum, g.dv_max, B)
+            ).astype(dtype)
+
+            def cond(state):
+                it, _, _, done, _ = state
+                return jnp.logical_and(it < max_iterations, ~jnp.all(done))
+
+            def body(state):
+                it, v2c, total, done, iters = state
+                v2c_c = g.permute_v_to_c(v2c.reshape(-1, B))
+                c2v_c = check_node_update(v2c_c, synd_cb, c_mask)
+                c2v_v = g.permute_c_to_v(c2v_c.reshape(-1, B))
+                total_new, v2c_new = var_node_update(prior_vb, c2v_v, v_mask)
+
+                upd = ~done
+                total_out = jnp.where(upd[None, :], total_new, total)
+                v2c_out = jnp.where(upd[None, None, :], v2c_new, v2c)
+                conv = g.lappr_consistent(total_out, synd_cb)
+                newly = jnp.logical_and(conv, upd)
+                iters_out = jnp.where(newly, it + 1, iters)
+                return (it + 1, v2c_out, total_out, jnp.logical_or(done, conv), iters_out)
+
+            init = (
+                jnp.int32(0),
+                v2c0,
+                prior_vb.astype(dtype),
+                done0,
+                jnp.zeros(prior_vb.shape[1], jnp.int32),
+            )
+            _, _, total, done, iters = jax.lax.while_loop(cond, body, init)
+            iters = jnp.where(done, iters, max_iterations)
+            return done, iters, total
+
+        return jax.jit(decode_batched)
+
+    def decode_batch(self, lappr, synd, max_iterations: int):
+        """Decode a batch: lappr [B, V], synd [B, C] -> (success [B], iters [B], final [B, V])."""
+        if self._decode_jit is None:
+            self._decode_jit = self._build_decode()
+        lappr = jnp.asarray(lappr, self.dtype)
+        synd = jnp.asarray(synd)
+        success, iters, total = self._decode_jit(
+            lappr.T, synd.T, jnp.int32(max_iterations)
+        )
+        return success, iters, total.T
+
+    def decode(self, lappr_data, synd, max_iterations: int):
+        """Single-frame API-parity wrapper.
+
+        Returns ``(success, iters, final_lappr)`` exactly as the reference
+        (reference: qamreconciliation/decoder.pyx:441-455).
+        """
+        lappr = jnp.asarray(lappr_data, self.dtype)[None, :]
+        synd = jnp.asarray(synd)[None, :]
+        success, iters, final = self.decode_batch(lappr, synd, max_iterations)
+        return bool(success[0]), int(iters[0]), np.asarray(final[0])
+
+    # ------------------------------------------------------------------ #
+    # API-parity check / single-node helpers (test tier; functional style)
+
+    def check_synd_node(self, check_node_index, word, synd) -> bool:
+        """Parity test of one check node (reference: decoder.pyx:177-209)."""
+        g = self.graph
+        word = np.asarray(word).astype(np.int64)
+        if word.size != g.vnum:
+            raise ValueError("Size of word does not match number of vnodes")
+        synd = np.asarray(synd).astype(np.int64)
+        if synd.size != g.cnum:
+            raise ValueError("Size of synd does not match number of cnodes")
+        members = g.e_to_v[g.e_to_c == check_node_index]
+        return bool((word[members].sum() + synd[check_node_index]) % 2 == 0)
+
+    def check_word(self, word, synd) -> bool:
+        """All-checks parity test (reference: decoder.pyx:212-232)."""
+        word = jnp.asarray(np.asarray(word).astype(np.int64))[:, None]
+        synd_hat = self.graph.syndrome_from_bits(word.astype(jnp.int32))
+        return bool(
+            jnp.all(synd_hat[:, 0] == jnp.asarray(np.asarray(synd).astype(np.int32)))
+        )
+
+    def check_lappr(self, lappr, synd) -> bool:
+        """Syndrome test of LLR hard decisions (reference: decoder.pyx:260-281)."""
+        lappr = np.asarray(lappr, dtype=np.float64)
+        if lappr.size != self.graph.vnum:
+            raise ValueError("Size of lappr does not match number of vnodes")
+        synd = np.asarray(synd).astype(np.int64)
+        if synd.size != self.graph.cnum:
+            raise ValueError("Size of synd does not match number of cnodes")
+        total = jnp.asarray(lappr)[:, None]
+        return bool(
+            self.graph.lappr_consistent(total, jnp.asarray(synd)[:, None])[0]
+        )
+
+    def process_var_node(self, node_index, lappr_data, check_to_var, var_to_check, updated_lappr):
+        """Single variable-node update in the reference's edge-indexed format.
+
+        Functional twist on reference: qamreconciliation/decoder.pyx:285-298 —
+        returns updated copies of (var_to_check, updated_lappr) instead of
+        mutating.
+        """
+        g = self.graph
+        check_to_var = np.asarray(check_to_var, np.float64)
+        var_to_check = np.array(var_to_check, np.float64, copy=True)
+        updated_lappr = np.array(updated_lappr, np.float64, copy=True)
+        edges = np.flatnonzero(g.e_to_v == node_index)
+        total = float(np.asarray(lappr_data)[node_index]) + check_to_var[edges].sum()
+        updated_lappr[node_index] = total
+        var_to_check[edges] = total - check_to_var[edges]
+        return var_to_check, updated_lappr
+
+    def process_check_node(self, node_index, synd, check_to_var, var_to_check):
+        """Single check-node update in the reference's edge-indexed format.
+
+        Functional version of reference: qamreconciliation/decoder.pyx:322-369
+        (exact box-plus prefix logic, applied pairwise).
+        """
+        g = self.graph
+        check_to_var = np.array(check_to_var, np.float64, copy=True)
+        var_to_check = np.asarray(var_to_check, np.float64)
+        synd = np.asarray(synd).astype(np.int64)
+        edges = np.flatnonzero(g.e_to_c == node_index)
+        msgs = var_to_check[edges]
+        pref = -1.0 if synd[node_index] else 1.0
+        for pos, e in enumerate(edges):
+            others = np.delete(msgs, pos)
+            acc = others[0]
+            for m in others[1:]:
+                acc = float(box_plus(jnp.float64(acc), jnp.float64(m)))
+            check_to_var[e] = pref * acc
+        return check_to_var

@@ -1,0 +1,487 @@
+"""Softening / noise-mapping layer (the paper's central object), TPU-native.
+
+Capability parity with reference: qamreconciliation/noisemapper.pyx:102-816,
+re-designed batched-first:
+
+* Table construction (§3.3 of SURVEY.md) runs once per (alphabet, noise_var)
+  on the host in float64 — exact — and ships a pytree of device arrays.
+* Every per-sample scalar method of the reference (``g``, ``g_inv``,
+  ``g_inv_search``, ``hard_decide_index``, ``map_noise``, ``demap_lappr*``)
+  becomes a batched op over arbitrary sample shapes; the M-candidate /
+  M-symbol loops of the LLR builders become tensor dimensions ``[S, M, M]``.
+* ``g_inv_search``'s bracket-doubling + bisection
+  (reference: noisemapper.pyx:310-345) becomes a fixed-trip-count vectorised
+  bisection (80 steps over a fixed bracket — tighter than the reference's
+  1e-9 exit criterion).
+* LLR builders are computed in the log domain (logsumexp) so they are stable
+  in float32 where the reference relies on float64 headroom.
+
+Deliberate deviations from reference quirks (SURVEY.md §2 "quirks"):
+
+(a) The inverse-CDF interpolation grid ``_F_Y`` is probability-weighted
+    (correct for shaped alphabets); the reference weights it uniformly
+    (reference: noisemapper.pyx:274) while using probability weights
+    elsewhere.  For the default uniform alphabet the two coincide.
+    ``ref_compat_fy_grid=True`` restores the reference grid.
+(b) ``demap_lappr`` in the reference omits the ``/2sigma^2`` in the k<j
+    exponent (reference: noisemapper.pyx:503-507).  We default to the correct
+    math; ``ref_compat=True`` reproduces the reference formula.
+(c) ``demap_lappr_sofisticated`` in the reference evaluates
+    ``y_hat[i] = g_inv(n, j)`` (index j for all i, reference:
+    noisemapper.pyx:655).  We default to ``g_inv(n, i)``; ``ref_compat=True``
+    reproduces the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import erf as np_erf
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erf as jerf, logsumexp
+
+from .alphabet import PAMAlphabet
+from .bicm import generate_table_s_to_b
+from ..config import DEFAULT_DTYPE, INDEX_DTYPE, finite_llr_max
+
+__all__ = [
+    "NoiseMapper",
+    "NoiseDemapper",
+    "NoiseMapperFlipSign",
+    "NoiseMapperAntiFlipSign",
+]
+
+
+def _np_F_Z(z, mu, sigma):
+    """Gaussian CDF (host float64), reference: noisemapper.pyx:66-67."""
+    return 0.5 * (1.0 + np_erf((z - mu) / (np.sqrt(2.0) * sigma)))
+
+
+class NoiseMapper:
+    """Precomputed softening tables + batched mapping/demapping ops.
+
+    Constructor signature mirrors the reference
+    (reference: qamreconciliation/noisemapper.pyx:103-107).
+    """
+
+    def __init__(
+        self,
+        pa: PAMAlphabet,
+        noise_var: float,
+        sign_config=None,
+        trunkation_threshold: float = 1e-21,
+        n_intervals_per_step: int = 1000,
+        dtype=DEFAULT_DTYPE,
+        ref_compat_fy_grid: bool = False,
+    ):
+        if noise_var <= 0:
+            raise ValueError(
+                f"noise variance must be strictly positive, got {noise_var}"
+            )
+        M = pa.order
+        if sign_config is None:
+            self.sign_config = np.zeros(M, dtype=np.uint8)
+        else:
+            self.sign_config = np.asarray(sign_config, dtype=np.uint8).reshape(-1)
+            if self.sign_config.size < M:
+                raise ValueError(
+                    "Not enough data for a monotonicity sign configuration"
+                )
+            self.sign_config = self.sign_config[:M]
+
+        self.dtype = jnp.dtype(dtype)
+        self.alphabet = pa
+        self.order = M
+        self.half_order = M >> 1
+        self.bit_per_symbol = pa.bit_per_symbol
+        self.variance = pa.variance
+        self.noise_var = float(noise_var)
+        self._sigma = float(np.sqrt(noise_var))
+        self.noise_sigma = self._sigma
+
+        c = pa.constellation          # [M] float64
+        thr = pa.thresholds           # [M+1] float64
+        p = pa.probabilities          # [M] float64
+        sq2s = np.sqrt(2.0) * self._sigma
+
+        # --- y grid + marginal CDF for inverse interpolation -------------- #
+        # (reference: noisemapper.pyx:135-144)
+        if trunkation_threshold > 1.0:
+            y_low, y_high = c[0] * 10.0, c[-1] * 10.0
+        else:
+            tmp = np.sqrt(-2.0 * np.log(trunkation_threshold)) * self._sigma
+            y_low, y_high = c[0] - tmp, c[-1] + tmp
+        n_points = int(np.ceil((y_high - y_low) * n_intervals_per_step / pa.step)) + 1
+        y_range = np.linspace(y_low, y_high, n_points)
+        grid_w = (np.full(M, 1.0 / M) if ref_compat_fy_grid else p)
+        F_Y_grid = np.zeros(n_points)
+        for i in range(M):
+            F_Y_grid += grid_w[i] * _np_F_Z(y_range, c[i], self._sigma)
+
+        # --- threshold CDF values + interval masses ----------------------- #
+        # (reference: noisemapper.pyx:149-162; always probability-weighted)
+        F_thr = np.empty(M + 1)
+        F_thr[0], F_thr[M] = 0.0, 1.0
+        for i in range(1, M):
+            F_thr[i] = np.sum(p * _np_F_Z(thr[i], c, self._sigma))
+        delta_F_Y = np.diff(F_thr)
+
+        # --- symbol transition matrices ----------------------------------- #
+        # fwd[j, i] = P{Xhat = a_i | X = a_j} via erf differences with exact
+        # +-1 at the outer decision intervals (reference: noisemapper.pyx:167-182)
+        erf_grid = np.empty((M + 1, M))          # erf((thr_i - c_j)/(sqrt2 s))
+        erf_grid[0, :] = -1.0
+        erf_grid[M, :] = 1.0
+        for i in range(1, M):
+            erf_grid[i, :] = np_erf((thr[i] - c) / sq2s)
+        fwd = 0.5 * (erf_grid[1:, :] - erf_grid[:-1, :]).T   # [j, i]
+
+        marg = p @ fwd                                        # P{Xhat = a_i}
+        back = (p[:, None] * fwd) / marg[None, :]             # [j, i] -> transpose
+        back = back.T                                         # back[i, j]
+
+        # --- hard-decision bare-LLR table --------------------------------- #
+        # (reference: noisemapper.pyx:198-220); Gray bit of received symbol i
+        bits = generate_table_s_to_b(pa.bit_per_symbol).astype(np.float64)  # [M, bps]
+        Nsum = fwd @ (1.0 - bits)      # [j, k]
+        Dsum = fwd @ bits
+        with np.errstate(divide="ignore"):
+            bare = np.where(Dsum == 0.0, 1e300, np.log(np.maximum(Nsum, 0.0)) - np.log(Dsum))
+        llr_cap = finite_llr_max(self.dtype)
+        bare = np.clip(bare, -llr_cap, llr_cap)
+
+        # inf_erf_table[i, j] = erf((inf(D_i) - a_j)/(sqrt2 sigma)), row 0 = -1
+        # (reference: noisemapper.pyx:223-236)
+        inf_erf = erf_grid[:M, :].copy()
+
+        # --- host float64 copies (analytic MI + oracles) ------------------ #
+        self.np_tables = dict(
+            y_range=y_range,
+            F_Y=F_Y_grid,
+            F_Y_thresholds=F_thr,
+            delta_F_Y=delta_F_Y,
+            fwrd_transition_probability=fwd,
+            back_transition_probability=back,
+            bare_llr_table=bare,
+            inf_erf_table=inf_erf,
+            constellation=c,
+            thresholds=thr,
+            probabilities=p,
+        )
+
+        # --- device copies ------------------------------------------------ #
+        dt = self.dtype
+        self._y_range = jnp.asarray(y_range, dt)
+        self._F_Y = jnp.asarray(F_Y_grid, dt)
+        self._F_thr = jnp.asarray(F_thr, dt)
+        self._delta_F_Y = jnp.asarray(delta_F_Y, dt)
+        self._fwd = jnp.asarray(fwd, dt)
+        self._back = jnp.asarray(back, dt)
+        self._bare_llr = jnp.asarray(bare, dt)
+        self._inf_erf = jnp.asarray(inf_erf, dt)
+        self._c = jnp.asarray(c, dt)
+        self._thr_interior = jnp.asarray(thr[1:M], dt)
+        self._p = jnp.asarray(p, dt)
+        self._log_p = jnp.asarray(np.log(p), dt)
+        self._sign_cfg = jnp.asarray(self.sign_config.astype(np.bool_))
+        self._bits_mask = jnp.asarray(bits, dt)               # [M, bps]
+        # Fixed bisection bracket: generously beyond the CDF grid.
+        self._y_bracket = (
+            float(c[0] - 50.0 * self._sigma - 1.0),
+            float(c[-1] + 50.0 * self._sigma + 1.0),
+        )
+
+    # ------------------------------------------------------------------ #
+    # Properties (API parity, reference: noisemapper.pyx:254-261 + .pxd)
+
+    @property
+    def y_range(self):
+        return np.asarray(self.np_tables["y_range"])
+
+    @property
+    def F_Y_values(self):
+        return np.asarray(self.np_tables["F_Y"])
+
+    @property
+    def F_Y_thresholds(self):
+        return np.asarray(self.np_tables["F_Y_thresholds"])
+
+    @property
+    def delta_F_Y(self):
+        return np.asarray(self.np_tables["delta_F_Y"])
+
+    @property
+    def fwrd_transition_probability(self):
+        return np.asarray(self.np_tables["fwrd_transition_probability"])
+
+    @property
+    def back_transition_probability(self):
+        return np.asarray(self.np_tables["back_transition_probability"])
+
+    @property
+    def bare_llr_table(self):
+        return np.asarray(self.np_tables["bare_llr_table"])
+
+    @property
+    def inf_erf_table(self):
+        return np.asarray(self.np_tables["inf_erf_table"])
+
+    @property
+    def constellation(self):
+        return np.asarray(self.np_tables["constellation"])
+
+    @property
+    def thresholds(self):
+        return np.asarray(self.np_tables["thresholds"])
+
+    @property
+    def probabilities(self):
+        return np.asarray(self.np_tables["probabilities"])
+
+    # ------------------------------------------------------------------ #
+    # Effective monotonicity direction used by g / g_inv.  The base class
+    # reads sign_config; subclasses hardcode their pattern
+    # (reference: noisemapper.pyx:289-307, 775-816).  NOTE: g_inv_search
+    # always reads sign_config, even in subclasses — mirrored quirk.
+
+    def _g_signs(self):
+        return self._sign_cfg
+
+    # ------------------------------------------------------------------ #
+    # CDF evaluations (batched)
+
+    def F_Y(self, y):
+        """Marginal CDF of Y, probability-weighted (batched, any shape).
+
+        Deviation (a): the reference's public ``F_Y`` weighs components
+        uniformly (reference: noisemapper.pyx:264-275); for shaped alphabets
+        that is inconsistent with ``_single_F_Y``.  Here both agree.
+        """
+        y = jnp.asarray(y, self.dtype)
+        z = (y[..., None] - self._c) / (np.sqrt(2.0) * self._sigma)
+        return jnp.sum(self._p * 0.5 * (1.0 + jerf(z)), axis=-1)
+
+    single_F_Y = F_Y  # probability-weighted scalar CDF, same math
+
+    # ------------------------------------------------------------------ #
+
+    def hard_decide_index(self, y_samples):
+        """Decision-interval index of each sample (batched).
+
+        Equivalent to the reference's per-sample binary search over the
+        sentinel-padded threshold array
+        (reference: noisemapper.pyx:349-359): index = #{interior thresholds
+        <= y}, clamped to [0, M-1].
+        """
+        y = jnp.asarray(y_samples, self.dtype)
+        return jnp.searchsorted(self._thr_interior, y, side="right").astype(INDEX_DTYPE)
+
+    def index_to_val(self, index):
+        return self._c[jnp.asarray(index)]
+
+    def g(self, y, i):
+        """Softening metric n = g(y, decided interval i), batched."""
+        y = jnp.asarray(y, self.dtype)
+        i = jnp.asarray(i)
+        F = self.F_Y(y)
+        lo, hi = self._F_thr[i], self._F_thr[i + 1]
+        d = self._delta_F_Y[i]
+        flip = self._g_signs()[i]
+        return jnp.where(flip, (hi - F) / d, (F - lo) / d)
+
+    def map_noise(self, y_samples, index):
+        """n = g(y, index) elementwise (reference: noisemapper.pyx:373-388)."""
+        return self.g(y_samples, index)
+
+    def _g_target(self, n_hat, i, signs):
+        lo, hi = self._F_thr[i], self._F_thr[i + 1]
+        d = self._delta_F_Y[i]
+        return jnp.where(signs[i], hi - jnp.asarray(n_hat, self.dtype) * d,
+                         jnp.asarray(n_hat, self.dtype) * d + lo)
+
+    def g_inv(self, n_hat, i):
+        """Inverse softening by monotone grid interpolation (batched).
+
+        Returns y_hat, not z_hat (reference: noisemapper.pyx:295-307).
+        Deviation: clamps (rather than extrapolates) below the grid start.
+        """
+        target = self._g_target(n_hat, jnp.asarray(i), self._g_signs())
+        return jnp.interp(target, self._F_Y, self._y_range)
+
+    def g_inv_search(self, n_hat, i, y_accuracy: float = 1e-9, iters: int = 80):
+        """Inverse softening by fixed-trip bisection on the exact CDF.
+
+        Vectorised equivalent of the reference's bracket-doubling + bisection
+        (reference: noisemapper.pyx:310-345); always uses ``sign_config``
+        (mirroring that the reference subclasses do not override it).
+        ``iters=80`` over the fixed bracket is far tighter than the
+        reference's 1e-9 stopping rule; ``y_accuracy`` kept for API parity.
+        """
+        del y_accuracy
+        i = jnp.asarray(i)
+        target = self._g_target(n_hat, i, self._sign_cfg)
+        lo = jnp.full(target.shape, self._y_bracket[0], self.dtype)
+        hi = jnp.full(target.shape, self._y_bracket[1], self.dtype)
+
+        def body(_, state):
+            lo, hi = state
+            mid = 0.5 * (lo + hi)
+            above = self.F_Y(mid) > target
+            return jnp.where(above, lo, mid), jnp.where(above, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        return 0.5 * (lo + hi)
+
+    def demap_noise(self, n_hat, symb):
+        """y_hat = g_inv(n, symb) elementwise (reference: noisemapper.pyx:391-403)."""
+        return self.g_inv(jnp.asarray(n_hat), jnp.asarray(symb))
+
+    def demap_noise_search(self, n_hat, symb, y_accuracy: float = 1e-9):
+        return self.g_inv_search(jnp.asarray(n_hat), jnp.asarray(symb), y_accuracy)
+
+    # ------------------------------------------------------------------ #
+    # LLR builders.  All accept n, j of shape [...], return [..., S*bps]
+    # flat bit LLRs (per-symbol blocks contiguous), matching the reference's
+    # flat layout.
+
+    def bare_llr(self, symb):
+        """Hard-decision LLRs from the precomputed table
+        (reference: noisemapper.pyx:423-432)."""
+        llr = self._bare_llr[jnp.asarray(symb)]        # [..., S, bps]
+        return llr.reshape(*llr.shape[:-2], -1)
+
+    def _y_hat_all_candidates(self, n, mode: str):
+        """y_hat[s, i] = g^-1(n_s, i) for every candidate received symbol i."""
+        n = jnp.asarray(n, self.dtype)
+        S = n.shape[-1]
+        ii = jnp.broadcast_to(jnp.arange(self.order), (*n.shape, self.order))
+        nn = n[..., None]
+        if mode == "search":
+            return self.g_inv_search(jnp.broadcast_to(nn, ii.shape), ii)
+        return self.g_inv(jnp.broadcast_to(nn, ii.shape), ii)
+
+    def _gray_group_llr(self, log_w):
+        """log_w [..., M] -> LLR [..., bps]: LSE over Gray-bit groups."""
+        neg_inf = jnp.array(-jnp.inf, self.dtype)
+        lw = log_w[..., None]                          # [..., M, 1]
+        mask1 = self._bits_mask > 0                    # [M, bps]
+        num = logsumexp(jnp.where(mask1, neg_inf, lw), axis=-2)
+        den = logsumexp(jnp.where(mask1, lw, neg_inf), axis=-2)
+        return num - den
+
+    def demap_lappr_array(self, n, j, mode: str = "search", ref_compat: bool = False):
+        """Softening LLRs, "Formulation 2/4" — the sims' default path.
+
+        Batched log-domain equivalent of reference: noisemapper.pyx:450-559.
+        For each sample s (softening metric n_s, Alice symbol j_s) and each
+        candidate Bob decision i: reconstruct y_hat = g^-1(n_s, i), weight the
+        decision interval mass ``delta_F_Y[i]`` by the probability-weighted
+        exponential sum over true-symbol hypotheses k, then group by Gray bit.
+
+        mode: "search" (exact CDF bisection, as the reference's
+        ``g_inv_search``) or "interp" (grid interpolation, faster).
+        ref_compat: reproduce quirk (b) (missing /2sigma^2 on k<j terms).
+        """
+        n = jnp.atleast_1d(jnp.asarray(n, self.dtype))
+        j = jnp.atleast_1d(jnp.asarray(j))
+        y_hat = self._y_hat_all_candidates(n, mode)     # [..., M]
+
+        c_j = self._c[j][..., None, None]               # [..., 1, 1]
+        c_k = self._c[None, :]                          # broadcast over k
+        base = (2.0 * y_hat[..., None] - c_k - c_j) * (c_k - c_j)
+        expo = base / (2.0 * self.noise_var)
+        if ref_compat:
+            k_idx = jnp.arange(self.order)
+            expo = jnp.where(k_idx[None, :] < j[..., None, None], base, expo)
+        log_sums = logsumexp(expo + self._log_p, axis=-1)          # [..., M]
+        log_w = jnp.log(self._delta_F_Y) - log_sums
+        llr = self._gray_group_llr(log_w)               # [..., bps]
+        return llr.reshape(*llr.shape[:-2], -1)
+
+    def demap_lappr(self, n, j, mode: str = "search", ref_compat: bool = False):
+        """Single-sample wrapper (reference: noisemapper.pyx:450-540)."""
+        return self.demap_lappr_array(
+            jnp.asarray([n], self.dtype), jnp.asarray([j]), mode, ref_compat
+        )
+
+    def demap_lappr_simplified_array(self, n, j):
+        """"Formulation 1" (reference: noisemapper.pyx:563-601):
+        plain Gaussian kernels at the interpolated y_hat candidates."""
+        n = jnp.atleast_1d(jnp.asarray(n, self.dtype))
+        j = jnp.atleast_1d(jnp.asarray(j))
+        y_hat = self._y_hat_all_candidates(n, "interp")            # [..., M]
+        a_j = self._c[j][..., None]
+        log_w = -((y_hat - a_j) ** 2) / (2.0 * self.noise_var)
+        llr = self._gray_group_llr(log_w)
+        return llr.reshape(*llr.shape[:-2], -1)
+
+    def demap_lappr_simplified(self, n, j):
+        return self.demap_lappr_simplified_array(
+            jnp.asarray([n], self.dtype), jnp.asarray([j])
+        )
+
+    def demap_lappr_sofisticated_array(self, n, j, ref_compat: bool = False):
+        """"Formulation 3" (reference: noisemapper.pyx:624-747).
+
+        beta/delta-F_Z coefficient construction; kept in the linear domain
+        because the A coefficients are signed (negative sums produce NaN
+        LLRs exactly as in the reference).
+        ref_compat: reproduce quirk (c) (y_hat built from index j for all i).
+        """
+        n = jnp.atleast_1d(jnp.asarray(n, self.dtype))
+        j = jnp.atleast_1d(jnp.asarray(j))
+        M = self.order
+        if ref_compat:
+            y_hat = jnp.broadcast_to(
+                self.g_inv(n, j)[..., None], (*n.shape, M)
+            )
+        else:
+            y_hat = self._y_hat_all_candidates(n, "interp")
+
+        c_j = self._c[j][..., None, None]
+        c_m = self._c[None, :]
+        expo = (2.0 * y_hat[..., None] - c_m - c_j) * (c_m - c_j) / (
+            2.0 * self.noise_var
+        )
+        e_coeff = jnp.sum(self._p * jnp.exp(expo), axis=-1)        # [..., M]
+        beta = self._delta_F_Y / e_coeff
+        B = jnp.sum(beta, axis=-1, keepdims=True)
+
+        a_j = self._c[j][..., None]
+        sq2s = np.sqrt(2.0 * self.noise_var)
+        # _inf_erf is [i, j]; per sample we need the column j_s over all i.
+        inf_erf_cols = self._inf_erf.T[j]                          # [..., M]
+        dFZ = 0.5 * (jerf((y_hat - a_j) / sq2s) - inf_erf_cols)
+        Sz = jnp.sum(dFZ, axis=-1, keepdims=True)
+
+        A = beta * Sz - dFZ * B                                    # [..., M]
+        bits1 = self._bits_mask                                     # [M, bps]
+        Nk = jnp.einsum("...m,mk->...k", A, 1.0 - bits1)
+        Dk = jnp.einsum("...m,mk->...k", A, bits1)
+        llr = jnp.log(Nk) - jnp.log(Dk)
+        return llr.reshape(*llr.shape[:-2], -1)
+
+    def demap_lappr_sofisticated(self, n, j, ref_compat: bool = False):
+        return self.demap_lappr_sofisticated_array(
+            jnp.asarray([n], self.dtype), jnp.asarray([j]), ref_compat
+        )
+
+
+class NoiseDemapper(NoiseMapper):
+    """Kept-for-compat alias (reference: qamreconciliation/noisemapper.pxd:89-92)."""
+
+
+class NoiseMapperFlipSign(NoiseMapper):
+    """g decreasing on the lower half of the constellation
+    (reference: noisemapper.pyx:775-795)."""
+
+    def _g_signs(self):
+        return jnp.arange(self.order) < self.half_order
+
+
+class NoiseMapperAntiFlipSign(NoiseMapper):
+    """Complement of FlipSign (reference: noisemapper.pyx:798-816)."""
+
+    def _g_signs(self):
+        return jnp.arange(self.order) >= self.half_order

@@ -1,0 +1,103 @@
+"""Belief-propagation message math, batched.
+
+The reference computes the exact sum-product check-node update with jagged
+per-node forward/backward box-plus prefix scans over ``long**`` tables
+(reference: qamreconciliation/decoder.pyx:41-45, 322-369).  On TPU we use the
+numerically-equal sign/phi decomposition, which turns the all-but-one
+reduction into *one dense segment sum minus self* — a perfect fit for the
+padded dual-layout graph representation (see models/decoder.py):
+
+    box-plus over a set S, excluding element e
+      magnitude:  phi( sum_{s in S} phi(|m_s|) - phi(|m_e|) )
+      sign:       (-1)^(parity(S) - neg_e)
+
+where ``phi(x) = -log(tanh(x/2))`` is a self-inverse involution.  Equality
+with the reference's box-plus (``sgn*min + log1p(exp(-|a+b|)) -
+log1p(exp(-|a-b|))``) and with the tanh form ``2*artanh(prod tanh(m/2))`` is
+asserted in tests to the same tolerance the reference uses for its own
+check-node tests (reference: test/test_decoder.py:189-220).
+"""
+
+import jax.numpy as jnp
+
+__all__ = ["box_plus", "phi_llr", "check_node_update", "var_node_update"]
+
+
+def box_plus(a, b):
+    """Exact pairwise box-plus (elementwise, any shape).
+
+    Same formulation as reference: qamreconciliation/decoder.pyx:41-45;
+    provided for tests and small host-side use.  The decode hot loop uses the
+    phi form instead.
+    """
+    return (
+        jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a), jnp.abs(b))
+        + jnp.log1p(jnp.exp(-jnp.abs(a + b)))
+        - jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    )
+
+
+def phi_llr(x, tiny: float = 1e-30):
+    """phi(x) = -log(tanh(x/2)) for x > 0, numerically stable, self-inverse.
+
+    Computed as ``log1p(e^-x) - log1p(-e^-x)``.  Inputs are clamped to
+    ``[tiny, inf)``; the clamp bounds output magnitudes at ``phi(tiny)``
+    (~69 for tiny=1e-30), which also acts as the LLR saturation level of the
+    decoder — far beyond any magnitude that affects BP decisions.
+    """
+    x = jnp.maximum(x, tiny)
+    # Two regimes for full relative accuracy across the range:
+    #  x < 10:  -log(tanh(x/2)) is well-conditioned (tanh far from 1).
+    #  x >= 10: log1p(e^-x) - log1p(-e^-x); both log1p args are tiny, so no
+    #           cancellation (log(-expm1(-x)) would round 1 - e^-x to 1 here
+    #           and lose exactly a factor 2 -> ln 2 error after inversion).
+    ex = jnp.exp(-jnp.maximum(x, 10.0))
+    big = jnp.log1p(ex) - jnp.log1p(-ex)
+    small = -jnp.log(jnp.tanh(jnp.minimum(x, 10.0) / 2.0))
+    return jnp.where(x < 10.0, small, big)
+
+
+def check_node_update(v2c_c, synd, c_mask, tiny: float = 1e-30):
+    """Batched check-node (horizontal) update in check-major layout.
+
+    Args:
+      v2c_c:  [C, dc_max, B] variable->check messages (padded slots arbitrary)
+      synd:   [C, B] syndrome bits (0/1)
+      c_mask: [C, dc_max] 1.0 on real slots, 0.0 on padding
+      tiny:   phi clamp
+
+    Returns c2v_c [C, dc_max, B]: extrinsic check->variable messages with the
+    syndrome prefactor ``(-1)^synd`` applied
+    (semantics of reference: qamreconciliation/decoder.pyx:322-369).
+    """
+    mask = c_mask[:, :, None]
+    absm = jnp.abs(v2c_c)
+    phim = phi_llr(absm, tiny) * mask
+    s_phi = jnp.sum(phim, axis=1, keepdims=True)
+    mag = phi_llr(s_phi - phim, tiny)
+
+    neg = jnp.logical_and(v2c_c < 0, mask > 0)
+    parity = jnp.sum(neg.astype(jnp.int32), axis=1, keepdims=True) & 1
+    ext_neg = jnp.bitwise_xor(parity, neg.astype(jnp.int32))
+    sign = (1 - 2 * ext_neg).astype(v2c_c.dtype)
+
+    pref = (1 - 2 * synd.astype(jnp.int32)).astype(v2c_c.dtype)[:, None, :]
+    return sign * pref * mag * mask
+
+
+def var_node_update(prior, c2v_v, v_mask):
+    """Batched variable-node (vertical) update in var-major layout.
+
+    Args:
+      prior: [V, B] channel LLRs
+      c2v_v: [V, dv_max, B] check->variable messages (padding slots MUST be 0)
+      v_mask: [V, dv_max]
+
+    Returns (total [V, B], v2c_v [V, dv_max, B]):
+      total = prior + sum of incoming; v2c = total - incoming (extrinsic),
+    matching reference: qamreconciliation/decoder.pyx:285-298.
+    """
+    c2v_v = c2v_v * v_mask[:, :, None]
+    total = prior + jnp.sum(c2v_v, axis=1)
+    v2c_v = total[:, None, :] - c2v_v
+    return total, v2c_v
