@@ -117,23 +117,19 @@ class TannerGraph:
         self._c_vids = jnp.asarray(c_vids, INDEX_DTYPE)
         self._v_mask_np = v_mask.reshape(self.vnum, self.dv_max)
         self._c_mask_np = c_mask.reshape(self.cnum, self.dc_max)
-        self._mask_cache = {}
 
     def _masks(self, dtype_name: str):
         """Device mask pair for a dtype.
 
-        Must be first called OUTSIDE any jit trace (the cache would otherwise
-        capture tracer constants); Decoder materializes them eagerly.
+        Intentionally NOT cached: under a jit trace ``jnp.asarray`` yields
+        trace-local constants, and caching one across traces leaks tracers.
+        XLA deduplicates repeated constants, so rebuilding is free.
         """
-        cached = self._mask_cache.get(dtype_name)
-        if cached is None:
-            dtype = jnp.dtype(dtype_name)
-            cached = (
-                jnp.asarray(self._v_mask_np, dtype),
-                jnp.asarray(self._c_mask_np, dtype),
-            )
-            self._mask_cache[dtype_name] = cached
-        return cached
+        dtype = jnp.dtype(dtype_name)
+        return (
+            jnp.asarray(self._v_mask_np, dtype),
+            jnp.asarray(self._c_mask_np, dtype),
+        )
 
     # ------------------------------------------------------------------ #
     # Layout conversions
@@ -201,10 +197,11 @@ class Decoder:
     def _build_decode(self):
         g = self.graph
         dtype = self.dtype
-        v_mask, c_mask = g._masks(str(dtype))  # eager: concrete device arrays
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success [B], iters [B], final [V, B])."""
+            # created per trace (never cached): safe under nested jit
+            v_mask, c_mask = g._masks(str(dtype))
             synd_cb = synd_cb.astype(jnp.int32)
 
             done0 = g.lappr_consistent(prior_vb, synd_cb)

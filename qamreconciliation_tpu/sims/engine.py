@@ -1,0 +1,318 @@
+"""Monte-Carlo reconciliation sweep engine, batched.
+
+Capability parity with the reference's compiled per-SNR frame loops
+(reference: sims/reconciliation.pyx:93-329), re-designed for TPU:
+
+* the reference decodes ONE frame at a time in C loops; here every step —
+  symbol sampling, AWGN, hard decision, softening, syndrome, LLR build,
+  BP decode, error counting — runs over a frame batch ``B`` in one jitted
+  round function,
+* the per-frame early-exit heuristic
+  (reference: sims/reconciliation.pyx:159-161) becomes batch-round granular:
+  after each round of ``B`` frames the host checks
+  ``frame_errors >= ferr_count_min and frames > simloops/20`` — a
+  statistically equivalent stopping rule (documented deviation),
+* randomness is counter-based (``jax.random``): each round folds its index
+  into the sweep key, so results are reproducible and shardable.
+
+The three modes mirror the reference entry points:
+
+* softening  — reverse reconciliation with the softening metric
+  (reference: reconciliation.pyx:93-168)
+* direct     — Bob-side Gray LLRs from y (reference: reconciliation.pyx:173-249)
+* hard       — reverse with Alice's bare-LLR table
+  (reference: reconciliation.pyx:253-329)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import DEFAULT_DTYPE
+from ..models.alphabet import PAMAlphabet
+from ..models.decoder import Decoder
+from ..models.matrix import Matrix
+from ..models.noisemapper import NoiseMapper
+from ..ops.llr import y_to_lappr_gray
+from ..utils.scalar import count_errors_from_lappr
+
+__all__ = [
+    "ReconciliationEngine",
+    "simulate_softening_snr_dB",
+    "simulate_direct_snr_dB",
+    "simulate_hard_reverse_snr_dB",
+]
+
+
+@dataclass
+class PointResult:
+    """Per-SNR-point result tuple, matching the reference's CSV schema
+    (reference: sims/sim_reconciliation.py:96-102)."""
+
+    snr_dB: float
+    ber: float
+    fer: float
+    iters: float
+    frames: int = 0
+    frames_per_s: float = 0.0
+
+    def as_tuple(self):
+        return (self.snr_dB, self.ber, self.fer, self.iters)
+
+
+class ReconciliationEngine:
+    """Batched Monte-Carlo engine bound to (code, alphabet).
+
+    Args:
+      dec, mat, pa: decoder / parity matrix / alphabet (shared graph metadata).
+      batch: frames per round per device.
+      dtype: LLR/message dtype.
+      llr_mode: "interp" (default; grid-interpolated g^-1) or "search"
+        (exact bisection, the reference's choice — slower).
+      mesh_axis: optional ``(mesh, axis_name)`` to shard rounds over devices
+        (see parallel/sweep.py helpers).
+    """
+
+    def __init__(
+        self,
+        dec: Decoder,
+        mat: Matrix,
+        pa: PAMAlphabet,
+        batch: int = 128,
+        dtype=DEFAULT_DTYPE,
+        llr_mode: str = "interp",
+        mesh_axis=None,
+    ):
+        if mat.vnum % pa.bit_per_symbol != 0:
+            raise ValueError(
+                f"code length {mat.vnum} not divisible by bits/symbol "
+                f"{pa.bit_per_symbol}"
+            )
+        self.dec = dec
+        self.mat = mat
+        self.pa = pa
+        self.batch = int(batch)
+        self.dtype = jnp.dtype(dtype)
+        self.llr_mode = llr_mode
+        self.mesh_axis = mesh_axis
+        self.N = mat.vnum
+        self.K = mat.vnum - mat.cnum
+        self.N_symb = mat.vnum // pa.bit_per_symbol
+        self._round_cache = {}
+        # frames produced per round: per-device batch x mesh width
+        self.frames_per_round = self.batch * (
+            mesh_axis[0].devices.size if mesh_axis is not None else 1
+        )
+
+    # ------------------------------------------------------------------ #
+    # Round builders: each returns a jitted key -> counters function.
+
+    def _decode_and_count(self, lappr, word, max_iterations):
+        """Common tail: decode [B, N] LLRs against word's syndrome and
+        reduce the reference's four counters."""
+        synd = self.mat.eval_syndrome(word)
+        success, iters, final = _decode_inline(
+            self.dec, lappr, synd, max_iterations
+        )
+        errors = count_errors_from_lappr(
+            final[:, : self.K], word[:, : self.K]
+        )
+        return (
+            jnp.sum(errors),
+            jnp.sum(errors > 0),
+            jnp.sum(jnp.where(success, iters, 0)),
+            jnp.sum(success),
+        )
+
+    def _build_round(self, mode: str, nm: NoiseMapper | None, noise_sigma, alpha):
+        pa, B = self.pa, self.batch
+        two_var = float(noise_sigma) ** 2 * 2.0
+        dtype = self.dtype
+
+        def round_fn(key, max_iterations):
+            kx, kn = jax.random.split(key)
+            x = pa.random_symbols(kx, (B, self.N_symb))
+            y = pa.index_to_value(x, dtype) + noise_sigma * jax.random.normal(
+                kn, (B, self.N_symb), dtype
+            )
+            if mode == "softening":
+                x_hat = nm.hard_decide_index(y)
+                n_hat = nm.map_noise(y, x_hat)
+                word = pa.demap_symbols_to_bits(x_hat)
+                lappr = alpha * nm.demap_lappr_array(
+                    n_hat, x, mode=self.llr_mode
+                )
+            elif mode == "hard":
+                x_hat = nm.hard_decide_index(y)
+                word = pa.demap_symbols_to_bits(x_hat)
+                lappr = nm.bare_llr(x)
+            elif mode == "direct":
+                word = pa.demap_symbols_to_bits(x)
+                lappr = y_to_lappr_gray(y, pa.constellation, two_var, dtype)
+            else:
+                raise ValueError(mode)
+            return self._decode_and_count(lappr, word, max_iterations)
+
+        if self.mesh_axis is not None:
+            from ..parallel.sweep import shard_round
+
+            return shard_round(round_fn, *self.mesh_axis)
+        return jax.jit(round_fn)
+
+    # ------------------------------------------------------------------ #
+
+    def run_point(
+        self,
+        mode: str,
+        snr_dB: float,
+        decoder_iterations: int,
+        simulation_loops: int,
+        ferr_count_min: int,
+        alpha: float = 1.0,
+        nmconfig=None,
+        seed: int = 0,
+        timer=None,
+    ) -> PointResult:
+        """Run one SNR point until the frame budget or the early-exit rule.
+
+        SNR convention matches the reference: Es/N0 with
+        ``N0 = Es * 10^(-snr/10) / 2`` (reference: reconciliation.pyx:110).
+        """
+        Es = self.pa.variance
+        N0 = Es * (10.0 ** (-snr_dB / 10.0)) / 2.0
+        sigma = math.sqrt(N0)
+
+        nm = None
+        if mode in ("softening", "hard"):
+            cfg = nmconfig if mode == "softening" else None
+            nm = NoiseMapper(self.pa, N0, cfg, dtype=self.dtype)
+
+        cache_key = (mode, float(snr_dB), float(alpha),
+                     None if nmconfig is None else tuple(np.asarray(nmconfig)))
+        round_fn = self._round_cache.get(cache_key)
+        if round_fn is None:
+            round_fn = self._build_round(mode, nm, sigma, alpha)
+            self._round_cache[cache_key] = round_fn
+            if len(self._round_cache) > 8:
+                self._round_cache.pop(next(iter(self._round_cache)))
+
+        key = jax.random.key(seed)
+        err_count = 0
+        frame_error_count = 0
+        decoding_iterations = 0
+        successful_decoding = 0
+        frames = 0
+        n_rounds = max(1, math.ceil(simulation_loops / self.frames_per_round))
+
+        import time
+
+        t0 = time.perf_counter()
+        for r in range(n_rounds):
+            errs, ferrs, iters, succ = round_fn(
+                jax.random.fold_in(key, r), jnp.int32(decoder_iterations)
+            )
+            err_count += int(errs)
+            frame_error_count += int(ferrs)
+            decoding_iterations += int(iters)
+            successful_decoding += int(succ)
+            frames += self.frames_per_round
+            if (
+                frame_error_count >= ferr_count_min
+                and frames > simulation_loops / 20
+            ):
+                break
+        elapsed = time.perf_counter() - t0
+        if timer is not None:
+            timer.append(elapsed)
+
+        return PointResult(
+            snr_dB=snr_dB,
+            ber=err_count / (frames * self.K),
+            fer=frame_error_count / frames,
+            iters=(
+                0.0
+                if successful_decoding == 0
+                else decoding_iterations / successful_decoding
+            ),
+            frames=frames,
+            frames_per_s=frames / elapsed if elapsed > 0 else 0.0,
+        )
+
+
+def _decode_inline(dec: Decoder, lappr, synd, max_iterations):
+    """Decode [B, N] against [B, C] syndromes inside an outer jit."""
+    if dec._decode_jit is None:
+        dec._decode_jit = dec._build_decode()
+    success, iters, total = dec._decode_jit(
+        jnp.asarray(lappr, dec.dtype).T, jnp.asarray(synd).T, max_iterations
+    )
+    return success, iters, total.T
+
+
+# --------------------------------------------------------------------- #
+# Free-function API mirroring the reference engine signatures
+# (reference: sims/reconciliation.pyx:93, 173, 253).
+
+def _mk_engine(dec, mat, pa, **kw):
+    return ReconciliationEngine(dec, mat, pa, **kw)
+
+
+def simulate_softening_snr_dB(
+    snr_dB,
+    dec,
+    mat,
+    pa,
+    nmconfig,
+    decoder_iterations,
+    simulation_loops,
+    ferr_count_min,
+    alpha: float = 1.0,
+    **engine_kw,
+):
+    eng = _mk_engine(dec, mat, pa, **engine_kw)
+    return eng.run_point(
+        "softening",
+        snr_dB,
+        decoder_iterations,
+        simulation_loops,
+        ferr_count_min,
+        alpha=alpha,
+        nmconfig=nmconfig,
+    ).as_tuple()
+
+
+def simulate_direct_snr_dB(
+    snr_dB,
+    dec,
+    mat,
+    pa,
+    decoder_iterations,
+    simulation_loops,
+    ferr_count_min,
+    **engine_kw,
+):
+    eng = _mk_engine(dec, mat, pa, **engine_kw)
+    return eng.run_point(
+        "direct", snr_dB, decoder_iterations, simulation_loops, ferr_count_min
+    ).as_tuple()
+
+
+def simulate_hard_reverse_snr_dB(
+    snr_dB,
+    dec,
+    mat,
+    pa,
+    decoder_iterations,
+    simulation_loops,
+    ferr_count_min,
+    **engine_kw,
+):
+    eng = _mk_engine(dec, mat, pa, **engine_kw)
+    return eng.run_point(
+        "hard", snr_dB, decoder_iterations, simulation_loops, ferr_count_min
+    ).as_tuple()

@@ -1,0 +1,80 @@
+"""End-to-end sweep engine tests on a small (3,6) LDPC code."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qamreconciliation_tpu import Decoder, Matrix, PAMAlphabet
+from qamreconciliation_tpu.sims import ReconciliationEngine
+from qamreconciliation_tpu.utils import make_regular_ldpc
+
+
+@pytest.fixture(scope="module")
+def code():
+    vid, cid = make_regular_ldpc(240, 3, 6, seed=0)
+    dec = Decoder(vid, cid, dtype=jnp.float64)
+    mat = Matrix(vid, cid)
+    return dec, mat
+
+
+def make_engine(code, bps=2, **kw):
+    dec, mat = code
+    pa = PAMAlphabet(bps, 2.0)
+    return ReconciliationEngine(dec, mat, pa, batch=64, dtype=jnp.float64, **kw)
+
+
+def test_softening_ber_decreases_with_snr(code):
+    eng = make_engine(code)
+    nmconfig = np.zeros(4, dtype=np.uint8)
+    nmconfig[1::2] = 1  # Alternating configuration (reference default)
+    r_low = eng.run_point(
+        "softening", 2.0, 30, 256, 10**9, nmconfig=nmconfig, seed=1
+    )
+    r_high = eng.run_point(
+        "softening", 9.0, 30, 256, 10**9, nmconfig=nmconfig, seed=1
+    )
+    assert r_high.ber < r_low.ber
+    assert r_high.fer <= r_low.fer
+    assert 0.0 <= r_low.ber <= 1.0
+    # at 9 dB a rate-1/2 code over 4-PAM decodes essentially always
+    assert r_high.fer < 0.1
+
+
+def test_direct_mode_runs_and_beats_hard(code):
+    eng = make_engine(code)
+    snr = 7.0
+    r_soft = eng.run_point("direct", snr, 30, 256, 10**9, seed=2)
+    r_hard = eng.run_point("hard", snr, 30, 256, 10**9, seed=2)
+    assert 0.0 <= r_soft.ber <= 1.0
+    assert 0.0 <= r_hard.ber <= 1.0
+    # soft direct decoding must not be worse than hard reverse at equal SNR
+    assert r_soft.ber <= r_hard.ber + 0.01
+
+
+def test_early_exit(code):
+    eng = make_engine(code)
+    # at very low SNR every frame errors: with ferr_count_min=1 the engine
+    # must stop after the early-exit rule unlocks (frames > simloops/20)
+    r = eng.run_point("softening", -5.0, 5, 1280, 1,
+                      nmconfig=np.zeros(4, np.uint8), seed=3)
+    assert r.frames < 1280
+    assert r.frames > 1280 / 20
+
+
+def test_result_tuple_schema(code):
+    eng = make_engine(code)
+    r = eng.run_point("direct", 8.0, 10, 64, 10**9, seed=4)
+    t = r.as_tuple()
+    assert len(t) == 4
+    assert t[0] == 8.0
+
+
+def test_llr_modes_agree_statistically(code):
+    eng_i = make_engine(code, llr_mode="interp")
+    eng_s = make_engine(code, llr_mode="search")
+    cfg = np.zeros(4, np.uint8)
+    ri = eng_i.run_point("softening", 6.0, 30, 128, 10**9, nmconfig=cfg, seed=5)
+    rs = eng_s.run_point("softening", 6.0, 30, 128, 10**9, nmconfig=cfg, seed=5)
+    # identical keys + near-identical LLRs -> (almost) identical counters
+    assert abs(ri.fer - rs.fer) < 0.05
+    assert abs(ri.ber - rs.ber) < 0.01

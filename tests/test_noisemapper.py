@@ -1,0 +1,343 @@
+"""NoiseMapper tests.
+
+The reference has no tests for this layer (SURVEY.md §4); here every table
+and mapping is validated against an independent float64 numpy oracle written
+directly from the math (not shared with the implementation).
+"""
+
+import numpy as np
+from scipy.special import erf
+import jax.numpy as jnp
+import pytest
+
+from qamreconciliation_tpu import (
+    PAMAlphabet,
+    NoiseMapper,
+    NoiseMapperFlipSign,
+    NoiseMapperAntiFlipSign,
+)
+from qamreconciliation_tpu.models.bicm import generate_table_s_to_b
+
+SQRT2 = np.sqrt(2.0)
+
+
+def gauss_cdf(y, mu, sigma):
+    return 0.5 * (1.0 + erf((y - mu) / (SQRT2 * sigma)))
+
+
+def oracle_F(pa, sigma, y):
+    """Probability-weighted marginal CDF of Y."""
+    y = np.atleast_1d(np.asarray(y, dtype=np.float64))
+    return sum(
+        pa.probabilities[i] * gauss_cdf(y, pa.constellation[i], sigma)
+        for i in range(pa.order)
+    )
+
+
+@pytest.fixture(params=[2, 4])
+def setup(request):
+    bps = request.param
+    pa = PAMAlphabet(bps, 2.0)
+    noise_var = pa.variance * 10 ** (-3.0 / 10) / 2  # SNR = 3 dB
+    nm = NoiseMapper(pa, noise_var, dtype=jnp.float64)
+    return pa, nm, np.sqrt(noise_var)
+
+
+def test_rejects_bad_noise_var():
+    pa = PAMAlphabet(2, 2.0)
+    with pytest.raises(ValueError):
+        NoiseMapper(pa, 0.0)
+    with pytest.raises(ValueError):
+        NoiseMapper(pa, -1.0)
+    with pytest.raises(ValueError):
+        NoiseMapper(pa, 1.0, sign_config=np.zeros(2, dtype=np.uint8))
+
+
+def test_threshold_cdf_table(setup):
+    pa, nm, sigma = setup
+    M = pa.order
+    F_thr = nm.F_Y_thresholds
+    assert F_thr[0] == 0.0
+    assert F_thr[M] == 1.0
+    for i in range(1, M):
+        np.testing.assert_allclose(
+            F_thr[i], oracle_F(pa, sigma, pa.thresholds[i])[0], rtol=1e-12
+        )
+    assert (np.diff(F_thr) > 0).all()
+    np.testing.assert_allclose(nm.delta_F_Y.sum(), 1.0, rtol=1e-12)
+
+
+def test_forward_transition_rows(setup):
+    pa, nm, sigma = setup
+    M = pa.order
+    fwd = nm.fwrd_transition_probability
+    np.testing.assert_allclose(fwd.sum(axis=1), np.ones(M), rtol=1e-12)
+    # oracle: P{Xhat=i | X=j} = F_Z(thr_{i+1}; a_j) - F_Z(thr_i; a_j) with
+    # the outer intervals extending to +-inf
+    for j in range(M):
+        for i in range(M):
+            hi = 1.0 if i == M - 1 else gauss_cdf(
+                pa.thresholds[i + 1], pa.constellation[j], sigma
+            )
+            lo = 0.0 if i == 0 else gauss_cdf(
+                pa.thresholds[i], pa.constellation[j], sigma
+            )
+            # difference-of-erf cancellation limits relative accuracy for
+            # deep-tail probabilities; absolute agreement is what matters
+            np.testing.assert_allclose(fwd[j, i], hi - lo, rtol=1e-7, atol=1e-15)
+
+
+def test_back_transition_bayes(setup):
+    pa, nm, sigma = setup
+    M = pa.order
+    fwd = nm.fwrd_transition_probability
+    back = nm.back_transition_probability
+    for i in range(M):
+        denom = sum(pa.probabilities[k] * fwd[k, i] for k in range(M))
+        for j in range(M):
+            np.testing.assert_allclose(
+                back[i, j], pa.probabilities[j] * fwd[j, i] / denom, rtol=1e-12
+            )
+        np.testing.assert_allclose(back[i].sum(), 1.0, rtol=1e-12)
+
+
+def test_bare_llr_table(setup):
+    pa, nm, sigma = setup
+    M, bps = pa.order, pa.bit_per_symbol
+    fwd = nm.fwrd_transition_probability
+    bits = generate_table_s_to_b(bps)
+    for j in range(M):
+        for k in range(bps):
+            N = sum(fwd[j, i] for i in range(M) if bits[i, k] == 0)
+            D = sum(fwd[j, i] for i in range(M) if bits[i, k] == 1)
+            if D == 0:
+                assert nm.bare_llr_table[j, k] >= 1e30
+            else:
+                np.testing.assert_allclose(
+                    nm.bare_llr_table[j, k], np.log(N / D), rtol=1e-10
+                )
+
+
+def test_inf_erf_table(setup):
+    pa, nm, sigma = setup
+    M = pa.order
+    t = nm.inf_erf_table
+    np.testing.assert_array_equal(t[0], -np.ones(M))
+    for i in range(1, M):
+        for j in range(M):
+            np.testing.assert_allclose(
+                t[i, j],
+                erf((pa.thresholds[i] - pa.constellation[j]) / (SQRT2 * sigma)),
+                rtol=1e-12,
+            )
+
+
+def test_hard_decide_index(setup):
+    pa, nm, sigma = setup
+    y = np.linspace(pa.constellation[0] - 3, pa.constellation[-1] + 3, 501)
+    got = np.asarray(nm.hard_decide_index(y))
+    # oracle: nearest constellation point (uniform grid, midpoint thresholds);
+    # exclude exact threshold ties, which are checked separately below
+    expect = np.argmin(np.abs(y[:, None] - pa.constellation[None, :]), axis=1)
+    off_thr = ~np.isin(y, pa.thresholds)
+    np.testing.assert_array_equal(got[off_thr], expect[off_thr])
+    # boundary goes right (reference __binsearch recurses right on equality)
+    thr = pa.thresholds[1]
+    assert int(nm.hard_decide_index(np.array([thr]))[0]) == 1
+
+
+def test_map_noise_in_unit_interval_and_matches_formula(setup):
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, pa.order, 4096)
+    y = pa.constellation[x] + sigma * rng.standard_normal(4096)
+    idx = np.asarray(nm.hard_decide_index(y))
+    n = np.asarray(nm.map_noise(y, idx))
+    assert (n >= 0).all() and (n <= 1).all()
+    # oracle for the base (all-zeros) sign config
+    F = oracle_F(pa, sigma, y)
+    F_thr = nm.F_Y_thresholds
+    expect = (F - F_thr[idx]) / (F_thr[idx + 1] - F_thr[idx])
+    np.testing.assert_allclose(n, expect, rtol=1e-9)
+
+
+def test_g_ginv_roundtrip(setup):
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(1)
+    y = np.linspace(pa.constellation[0], pa.constellation[-1], 257)
+    idx = np.asarray(nm.hard_decide_index(y))
+    n = np.asarray(nm.map_noise(y, idx))
+    y_back = np.asarray(nm.g_inv(jnp.asarray(n), jnp.asarray(idx)))
+    np.testing.assert_allclose(y_back, y, atol=2e-3 * pa.step)
+    y_back_search = np.asarray(nm.g_inv_search(jnp.asarray(n), jnp.asarray(idx)))
+    np.testing.assert_allclose(y_back_search, y, atol=1e-9)
+
+
+def test_ginv_search_matches_interp(setup):
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(2)
+    n = rng.uniform(0.001, 0.999, 256)
+    i = rng.integers(0, pa.order, 256)
+    a = np.asarray(nm.g_inv(jnp.asarray(n), jnp.asarray(i)))
+    b = np.asarray(nm.g_inv_search(jnp.asarray(n), jnp.asarray(i)))
+    np.testing.assert_allclose(a, b, atol=2e-3 * pa.step)
+
+
+def test_sign_config_flips_direction():
+    pa = PAMAlphabet(2, 2.0)
+    nv = pa.variance / 4
+    base = NoiseMapper(pa, nv, dtype=jnp.float64)
+    alt = NoiseMapper(
+        pa, nv, sign_config=np.array([0, 1, 0, 1], np.uint8), dtype=jnp.float64
+    )
+    y = np.array([-1.2])
+    i = np.array([1])
+    n0 = float(base.g(y, i)[0])
+    n1 = float(alt.g(y, i)[0])
+    np.testing.assert_allclose(n0 + n1, 1.0, rtol=1e-12)
+
+
+def test_flip_sign_variants():
+    pa = PAMAlphabet(2, 2.0)
+    nv = pa.variance / 4
+    flip = NoiseMapperFlipSign(pa, nv, dtype=jnp.float64)
+    anti = NoiseMapperAntiFlipSign(pa, nv, dtype=jnp.float64)
+    base = NoiseMapper(pa, nv, dtype=jnp.float64)
+    y = np.array([-2.5, -1.0, 1.0, 2.5])
+    i = np.array([0, 1, 2, 3])
+    n_flip = np.asarray(flip.g(y, i))
+    n_anti = np.asarray(anti.g(y, i))
+    n_base = np.asarray(base.g(y, i))
+    # flip reverses the lower half, anti the upper half
+    np.testing.assert_allclose(n_flip[:2], 1.0 - n_base[:2], rtol=1e-12)
+    np.testing.assert_allclose(n_flip[2:], n_base[2:], rtol=1e-12)
+    np.testing.assert_allclose(n_anti[:2], n_base[:2], rtol=1e-12)
+    np.testing.assert_allclose(n_anti[2:], 1.0 - n_base[2:], rtol=1e-12)
+    # g_inv inverts g for the variants too
+    y_back = np.asarray(flip.g_inv(jnp.asarray(n_flip), jnp.asarray(i)))
+    np.testing.assert_allclose(y_back, y, atol=2e-3 * pa.step)
+
+
+def oracle_demap_lappr(nm, pa, sigma, n, j, quirk=False):
+    """Scalar float64 oracle for Formulation 2/4, written from the math
+    (probability-weighted exponential sums over reconstructed samples)."""
+    M, bps = pa.order, pa.bit_per_symbol
+    bits = generate_table_s_to_b(bps)
+    N = np.zeros(bps)
+    D = np.zeros(bps)
+    for i in range(M):
+        y_hat = float(nm.g_inv_search(jnp.asarray([n]), jnp.asarray([i]))[0])
+        s = 0.0
+        for k in range(M):
+            e = (2 * y_hat - pa.constellation[k] - pa.constellation[j]) * (
+                pa.constellation[k] - pa.constellation[j]
+            )
+            if not (quirk and k < j):
+                e = e / (2 * sigma**2)
+            s += pa.probabilities[k] * np.exp(e)
+        w = nm.delta_F_Y[i] / s
+        for k in range(bps):
+            if bits[i, k]:
+                D[k] += w
+            else:
+                N[k] += w
+    return np.log(N) - np.log(D)
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+def test_demap_lappr_vs_oracle(setup, quirk):
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(3)
+    S = 8
+    n = rng.uniform(0.05, 0.95, S)
+    j = rng.integers(0, pa.order, S)
+    got = np.asarray(
+        nm.demap_lappr_array(jnp.asarray(n), jnp.asarray(j), ref_compat=quirk)
+    ).reshape(S, pa.bit_per_symbol)
+    for s in range(S):
+        expect = oracle_demap_lappr(nm, pa, sigma, n[s], int(j[s]), quirk)
+        np.testing.assert_allclose(got[s], expect, rtol=1e-6, atol=1e-9)
+
+
+def test_demap_lappr_interp_close_to_search(setup):
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(4)
+    S = 64
+    n = rng.uniform(0.02, 0.98, S)
+    j = rng.integers(0, pa.order, S)
+    a = np.asarray(nm.demap_lappr_array(jnp.asarray(n), jnp.asarray(j), mode="search"))
+    b = np.asarray(nm.demap_lappr_array(jnp.asarray(n), jnp.asarray(j), mode="interp"))
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
+
+def test_demap_lappr_simplified_vs_oracle(setup):
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(5)
+    S = 8
+    n = rng.uniform(0.05, 0.95, S)
+    j = rng.integers(0, pa.order, S)
+    bits = generate_table_s_to_b(pa.bit_per_symbol)
+    got = np.asarray(
+        nm.demap_lappr_simplified_array(jnp.asarray(n), jnp.asarray(j))
+    ).reshape(S, pa.bit_per_symbol)
+    for s in range(S):
+        N = np.zeros(pa.bit_per_symbol)
+        D = np.zeros(pa.bit_per_symbol)
+        for i in range(pa.order):
+            y_hat = float(nm.g_inv(jnp.asarray([n[s]]), jnp.asarray([i]))[0])
+            w = np.exp(
+                -((y_hat - pa.constellation[j[s]]) ** 2) / (2 * sigma**2)
+            )
+            for k in range(pa.bit_per_symbol):
+                if bits[i, k]:
+                    D[k] += w
+                else:
+                    N[k] += w
+        np.testing.assert_allclose(
+            got[s], np.log(N) - np.log(D), rtol=1e-7, atol=1e-9
+        )
+
+
+def test_demap_lappr_sofisticated_runs(setup):
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(6)
+    S = 16
+    n = rng.uniform(0.05, 0.95, S)
+    j = rng.integers(0, pa.order, S)
+    out = np.asarray(
+        nm.demap_lappr_sofisticated_array(jnp.asarray(n), jnp.asarray(j))
+    )
+    assert out.shape == (S * pa.bit_per_symbol,)
+    out_compat = np.asarray(
+        nm.demap_lappr_sofisticated_array(
+            jnp.asarray(n), jnp.asarray(j), ref_compat=True
+        )
+    )
+    assert out_compat.shape == (S * pa.bit_per_symbol,)
+
+
+def test_bare_llr_gather(setup):
+    pa, nm, sigma = setup
+    symb = np.array([0, pa.order - 1, 1])
+    out = np.asarray(nm.bare_llr(jnp.asarray(symb)))
+    expect = nm.bare_llr_table[symb].reshape(-1)
+    np.testing.assert_allclose(out, expect, rtol=1e-12)
+
+
+def test_shaped_alphabet_tables_consistent():
+    p = np.array([0.4, 0.1, 0.1, 0.4])
+    pa = PAMAlphabet(2, 2.0, probabilities=p)
+    nm = NoiseMapper(pa, 0.5, dtype=jnp.float64)
+    # correct-math grid: interp and search inverses agree for shaped input
+    rng = np.random.default_rng(7)
+    n = rng.uniform(0.05, 0.95, 128)
+    i = rng.integers(0, 4, 128)
+    a = np.asarray(nm.g_inv(jnp.asarray(n), jnp.asarray(i)))
+    b = np.asarray(nm.g_inv_search(jnp.asarray(n), jnp.asarray(i)))
+    np.testing.assert_allclose(a, b, atol=2e-3 * pa.step)
+    # ref-compat grid reproduces the reference's uniform weighting quirk:
+    # interp inverse now disagrees with the exact search inverse
+    nm_q = NoiseMapper(pa, 0.5, dtype=jnp.float64, ref_compat_fy_grid=True)
+    a_q = np.asarray(nm_q.g_inv(jnp.asarray(n), jnp.asarray(i)))
+    b_q = np.asarray(nm_q.g_inv_search(jnp.asarray(n), jnp.asarray(i)))
+    assert np.abs(a_q - b_q).max() > 1e-2 * pa.step

@@ -1,0 +1,72 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qamreconciliation_tpu import Decoder, Matrix, PAMAlphabet
+from qamreconciliation_tpu.parallel import make_mesh, shard_round
+from qamreconciliation_tpu.sims import ReconciliationEngine
+from qamreconciliation_tpu.utils import make_regular_ldpc
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vid, cid = make_regular_ldpc(120, 3, 6, seed=2)
+    dec = Decoder(vid, cid, dtype=jnp.float64)
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    return dec, mat, pa
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_round_equals_manual_per_device_sum(setup):
+    """Shard-invariance: the psum-reduced counters of an 8-device round must
+    equal the sum of 8 single-device rounds run with the same folded keys."""
+    dec, mat, pa = setup
+    mesh = make_mesh(8)
+
+    eng_sharded = ReconciliationEngine(
+        dec, mat, pa, batch=16, dtype=jnp.float64, mesh_axis=(mesh, "dp")
+    )
+    eng_local = ReconciliationEngine(dec, mat, pa, batch=16, dtype=jnp.float64)
+
+    snr = 5.0
+    cfg = np.zeros(4, np.uint8)
+    import math
+
+    Es = pa.variance
+    N0 = Es * 10 ** (-snr / 10) / 2
+    sigma = math.sqrt(N0)
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+
+    nm = NoiseMapper(pa, N0, cfg, dtype=jnp.float64)
+
+    shard_fn = eng_sharded._build_round("softening", nm, sigma, 1.0)
+    local_fn = eng_local._build_round("softening", nm, sigma, 1.0)
+
+    key = jax.random.key(42)
+    got = [int(x) for x in shard_fn(key, jnp.int32(20))]
+
+    expect = [0, 0, 0, 0]
+    for d in range(8):
+        res = local_fn(jax.random.fold_in(key, d), jnp.int32(20))
+        expect = [a + int(b) for a, b in zip(expect, res)]
+
+    assert got == expect
+
+
+def test_sharded_sweep_runs(setup):
+    dec, mat, pa = setup
+    mesh = make_mesh(8)
+    eng = ReconciliationEngine(
+        dec, mat, pa, batch=8, dtype=jnp.float64, mesh_axis=(mesh, "dp")
+    )
+    assert eng.frames_per_round == 64
+    r = eng.run_point("direct", 7.0, 20, 128, 10**9, seed=0)
+    assert r.frames == 128
+    assert 0.0 <= r.ber <= 1.0
