@@ -1,0 +1,51 @@
+"""Shared CLI plumbing for the sweep drivers."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def add_engine_args(parser: argparse.ArgumentParser):
+    """TPU-engine flags shared by all sweep CLIs (extensions over the
+    reference's flag surface; the reference flags are added per-script)."""
+    parser.add_argument(
+        "--batch", type=int, default=128,
+        help="Frames per round per device (the reference decodes 1 frame at a time)",
+    )
+    parser.add_argument(
+        "--dtype", choices=["float32", "float64", "bfloat16"], default="float32",
+        help="LLR/message dtype (the reference is float64-only)",
+    )
+    parser.add_argument(
+        "--devices", type=int, default=1,
+        help="Shard each round over this many devices (psum-reduced counters)",
+    )
+    parser.add_argument(
+        "--llr-exact", action="store_true",
+        help="Use exact bisection g^-1 in LLR generation (the reference's "
+        "g_inv_search) instead of grid interpolation",
+    )
+    parser.add_argument("--seed", type=int, default=0, help="Sweep PRNG seed")
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="Resume a partially completed sweep from the .partial.jsonl journal",
+    )
+    parser.add_argument(
+        "--profile-dir", default=None,
+        help="Write a jax.profiler trace of the first SNR point here",
+    )
+
+
+def engine_kwargs(args):
+    kw = dict(
+        batch=args.batch,
+        dtype=jnp.dtype(args.dtype),
+        llr_mode="search" if args.llr_exact else "interp",
+    )
+    if args.devices > 1:
+        from ..parallel import make_mesh
+
+        kw["mesh_axis"] = (make_mesh(args.devices), "dp")
+    return kw

@@ -1,0 +1,109 @@
+"""Monte-Carlo mutual-information sweep CLI.
+
+Mirrors the reference (reference: sims/sim_montecarlo_information.py):
+columns ``EsN0dB,I(X;Xhat),I(X;Y),I(N,X;Xhat)``; optional gnuplot script /
+matplotlib display.  Reference sign conventions preserved (see
+models/mutual_information.py).
+"""
+
+import argparse
+
+import numpy as np
+
+from ..models.alphabet import PAMAlphabet
+from ..models.mutual_information import P_xhat, montecarlo_information
+from ..models.noisemapper import NoiseMapper
+from ..utils.checkpoint import SweepState
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="mutual_information_base_scheme",
+        description="Evaluate mutual information vs SNR of the base scheme",
+    )
+    parser.add_argument("--out", default="out.csv")
+    parser.add_argument("--snr", type=float, nargs=2, default=[-20, 20])
+    parser.add_argument("--nsnr", type=int, default=401)
+    parser.add_argument("--bps", type=int, default=2)
+    parser.add_argument("--niters", type=int, default=1 << 8)
+    parser.add_argument("--samples-per-iter", type=int, default=1 << 12)
+    parser.add_argument("--display", action="store_true")
+    parser.add_argument("--gnuplot", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "float64"])
+    parser.add_argument("--resume", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    import jax
+
+    args = build_parser().parse_args(argv)
+    EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
+    state = SweepState(args.out, resume=args.resume)
+
+    rows = []
+    for i, esn0db in enumerate(EsN0dB):
+        prev = state.done(esn0db)
+        if prev is not None:
+            rows.append((prev["point"], prev["ixxh"], prev["ixy"], prev["ixnxh"]))
+            continue
+        pa = PAMAlphabet(args.bps, 2)
+        Es = pa.variance
+        N0 = Es * (10 ** (-esn0db / 10)) / 2
+        nm = NoiseMapper(pa, N0, dtype=np.dtype(args.dtype))
+        p_Xhat = P_xhat(nm)
+
+        key = jax.random.key(args.seed + 7919 * i)
+        acc = np.zeros(3)
+        for it in range(args.niters):
+            acc += np.asarray(
+                montecarlo_information(
+                    jax.random.fold_in(key, it), pa, nm, p_Xhat,
+                    args.samples_per_iter,
+                )
+            )
+        acc /= args.niters
+        state.record(esn0db, dict(ixxh=acc[0], ixy=acc[1], ixnxh=acc[2]))
+        rows.append((float(esn0db), acc[0], acc[1], acc[2]))
+
+    from pandas import DataFrame
+
+    df = DataFrame(
+        rows, columns=["EsN0dB", "I(X;Xhat)", "I(X;Y)", "I(N,X;Xhat)"]
+    )
+    df.to_csv(args.out)
+    state.cleanup()
+
+    if args.gnuplot:
+        gnuplot_script = f"""
+        set datafile separator ","
+        set xlabel "E_b/N_0 [dB]"
+        set ylabel "I(X, N ; \\hat{{X}}) [bit/c.u.]"
+        set grid
+
+        plot '{args.out}' using 2:5 with lines title "I(X,N;Xhat)", \\
+             '{args.out}' using 2:3 with lines title "I(X;Xhat)", \\
+             '{args.out}' using 2:4 with lines title "I(X;Y)"
+
+        """
+        with open(f"{args.out}.gnuplot", "w") as f:
+            f.write(gnuplot_script)
+
+    if args.display:
+        from matplotlib import pyplot as plt
+
+        plt.plot(df["EsN0dB"], df["I(N,X;Xhat)"],
+                 label=r"$I(\hat{X} \; ; \; X,\; N)$")
+        plt.plot(df["EsN0dB"], df["I(X;Xhat)"], label=r"$I(X;\hat{X})$")
+        plt.plot(df["EsN0dB"], df["I(X;Y)"], label="$I(X;Y)$")
+        plt.xlabel("$E_b/N_0$ [dB]")
+        plt.grid("both")
+        plt.legend()
+        plt.show()
+    return df
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Reconciliation BER/FER sweep CLI.
+
+Flag surface and CSV schema of record mirror the reference CLI 1:1
+(reference: sims/sim_reconciliation.py:27-46, 96-102; README.md:117-138):
+
+    python -m qamreconciliation_tpu.sims.sim_reconciliation EDGEFILE \
+        [--out out.csv] [--maxiter 50] [--ferr-count-min 100] [--alpha 1.0]
+        [--simloops 5000] [--snr 0 5] [--nsnr 11] [--bps 2]
+        [--hard] [--direct] [--configuration-base]
+
+plus the TPU-engine extensions (--batch/--dtype/--devices/--llr-exact/--seed/
+--resume/--profile-dir).  Output CSV columns: ``EsN0dB,ber,fer,iters``.
+
+Where the reference forks one process per SNR point (parfor), the sweep here
+runs points sequentially but each point processes a whole frame batch per
+device step — the parallelism moved inside the point.
+"""
+
+import argparse
+
+import numpy as np
+
+from ..models.alphabet import PAMAlphabet
+from ..models.decoder import Decoder
+from ..models.matrix import Matrix
+from ..sims.engine import ReconciliationEngine
+from ..utils.checkpoint import SweepState
+from ..utils.edgefile import load_edge_csv
+from .common import add_engine_args, engine_kwargs
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        prog="decode",
+        description="Evaluate BER for LDPC codes vs Raw BER",
+    )
+    parser.add_argument(
+        "edgefile",
+        help="CSV with a 'vid' and a 'cid' columns representing an edge per line",
+    )
+    parser.add_argument("--out", default="out.csv")
+    parser.add_argument("--maxiter", default=50, type=int,
+                        help="Maximum number of iterations for the decoder")
+    parser.add_argument("--ferr-count-min", default=100, type=int,
+                        help="Minimum number of frame errors for early exit")
+    parser.add_argument("--alpha", type=float, default=1.0,
+                        help="Extra multiplicative coefficient for the LLR")
+    parser.add_argument("--simloops", default=5000, type=int,
+                        help="Number of frames per SNR point")
+    parser.add_argument("--snr", type=float, nargs=2, default=[0, 5],
+                        help="Initial and final SNR [dB] values of the range "
+                        "to evaluate the BER at")
+    parser.add_argument("--nsnr", type=int, default=11,
+                        help="Number of equally spaced SNR [dB] points to "
+                        "evaluate the BER at")
+    parser.add_argument("--bps", type=int, default=2,
+                        help="Bit Per Symbol (=log_2(PAM Order))")
+    parser.add_argument("--hard", action="store_true",
+                        help="Simulate hard reverse reconciliation")
+    parser.add_argument("--direct", action="store_true",
+                        help="Simulate the soft direct reconciliation, "
+                        "overrides '--hard'")
+    parser.add_argument("--configuration-base", action="store_true",
+                        help="Instead of the Alternating configuration, use "
+                        "the Base configuration")
+    add_engine_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    vid, cid = load_edge_csv(args.edgefile)
+    dec = Decoder(vid, cid, dtype=np.dtype(args.dtype))
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(args.bps, 2)
+
+    # mode selection: --direct overrides --hard (reference: 57-77)
+    mode = "direct" if args.direct else ("hard" if args.hard else "softening")
+    nmconfig = None
+    if mode == "softening":
+        nmconfig = np.zeros(pa.order, dtype=np.uint8)
+        if not args.configuration_base:
+            nmconfig[1::2] = 1  # Alternating configuration
+
+    eng = ReconciliationEngine(dec, mat, pa, **engine_kwargs(args))
+    state = SweepState(args.out, resume=args.resume)
+
+    EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
+    rows = []
+    for i, snr in enumerate(EsN0dB):
+        prev = state.done(snr)
+        if prev is not None:
+            rows.append((prev["point"], prev["ber"], prev["fer"], prev["iters"]))
+            continue
+        ctx = None
+        if args.profile_dir and i == 0:
+            import jax
+
+            ctx = jax.profiler.trace(args.profile_dir)
+            ctx.__enter__()
+        r = eng.run_point(
+            mode,
+            float(snr),
+            args.maxiter,
+            args.simloops,
+            args.ferr_count_min,
+            alpha=args.alpha,
+            nmconfig=nmconfig,
+            seed=args.seed + 1000003 * i,
+        )
+        if ctx is not None:
+            ctx.__exit__(None, None, None)
+        print(
+            f"[EsN0dB={snr:.3f}] frames={r.frames} ber={r.ber:.3e} "
+            f"fer={r.fer:.3e} iters={r.iters:.2f} "
+            f"({r.frames_per_s:.1f} frames/s)"
+        )
+        state.record(snr, dict(ber=r.ber, fer=r.fer, iters=r.iters,
+                               frames=r.frames, frames_per_s=r.frames_per_s))
+        rows.append((float(snr), r.ber, r.fer, r.iters))
+
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["EsN0dB", "ber", "fer", "iters"])
+    df.to_csv(args.out)
+    state.cleanup()
+    return df
+
+
+if __name__ == "__main__":
+    main()
