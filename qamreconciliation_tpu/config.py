@@ -25,4 +25,4 @@ def finite_llr_max(dtype) -> float:
     overflow to inf and poison sums, so we clamp to a quarter of the dtype max.
     """
     fi = np.finfo(np.dtype(dtype))
-    return float(min(1e300, fi.max / 4))
+    return min(1e300, float(fi.max) / 4)
