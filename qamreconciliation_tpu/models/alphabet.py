@@ -94,8 +94,13 @@ class PAMAlphabet:
         if np.isscalar(shape):
             shape = (int(shape),)
         u = jax.random.uniform(key, shape, dtype=jnp.float32)
-        cum = jnp.asarray(self._cum_prob[1:-1], jnp.float32)
-        idx = jnp.searchsorted(cum, u, side="right")
+        # Inverse-CDF: index = #{interior cum cut points <= u}, accumulated
+        # one scalar at a time.  Equivalent to searchsorted(side="right"),
+        # but pure elementwise VPU code — searchsorted and compare-reduces
+        # over a small trailing axis compile pathologically slowly on TPU.
+        idx = jnp.zeros(u.shape, jnp.float32)
+        for c in self._cum_prob[1:-1]:
+            idx += (u >= jnp.float32(c)).astype(jnp.float32)
         return idx.astype(INDEX_DTYPE)
 
     def index_to_value(self, index: jax.Array, dtype=DEFAULT_DTYPE) -> jax.Array:

@@ -34,6 +34,8 @@ Deliberate deviations from reference quirks (SURVEY.md §2 "quirks"):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 from scipy.special import erf as np_erf
 
@@ -171,9 +173,12 @@ class NoiseMapper:
         )
 
         # --- device copies ------------------------------------------------ #
+        # Every device table below has an SNR-independent shape (fixed by the
+        # alphabet / the fixed-size inverse grid), so a NoiseMapper can be
+        # passed as a jitted-function ARGUMENT (see pytree registration at the
+        # bottom of this file) and one compiled round function serves a whole
+        # SNR sweep without retracing.
         dt = self.dtype
-        self._y_range = jnp.asarray(y_range, dt)
-        self._F_Y = jnp.asarray(F_Y_grid, dt)
         self._F_thr = jnp.asarray(F_thr, dt)
         self._delta_F_Y = jnp.asarray(delta_F_Y, dt)
         self._fwd = jnp.asarray(fwd, dt)
@@ -185,12 +190,22 @@ class NoiseMapper:
         self._p = jnp.asarray(p, dt)
         self._log_p = jnp.asarray(np.log(p), dt)
         self._sign_cfg = jnp.asarray(self.sign_config.astype(np.bool_))
-        self._bits_mask = jnp.asarray(bits, dt)               # [M, bps]
-        # Fixed bisection bracket: generously beyond the CDF grid.
-        self._y_bracket = (
-            float(c[0] - 50.0 * self._sigma - 1.0),
-            float(c[-1] + 50.0 * self._sigma + 1.0),
+        # Uniform-in-CDF inverse of the marginal CDF grid, for O(1) g_inv.
+        self._inv_K = 1 << 14
+        y_of_u = np.interp(
+            np.linspace(0.0, 1.0, self._inv_K), F_Y_grid, y_range
         )
+        self._y_of_u = jnp.asarray(y_of_u, dt)
+        self._bits_mask = jnp.asarray(bits, dt)               # [M, bps]
+        # SNR-dependent scalars as device leaves (not trace-time constants).
+        self._sigma_dev = jnp.asarray(self._sigma, dt)
+        self._noise_var_dev = jnp.asarray(self.noise_var, dt)
+        # Fixed bisection bracket: generously beyond the CDF grid.
+        self._ybr_lo = jnp.asarray(c[0] - 50.0 * self._sigma - 1.0, dt)
+        self._ybr_hi = jnp.asarray(c[-1] + 50.0 * self._sigma + 1.0, dt)
+        # Alphabet decision thresholds as a hashable host tuple
+        # (SNR-independent -> safe as jit static data).
+        self._thr_tuple = tuple(float(t) for t in thr[1:-1])
 
     # ------------------------------------------------------------------ #
     # Properties (API parity, reference: noisemapper.pyx:254-261 + .pxd)
@@ -259,7 +274,7 @@ class NoiseMapper:
         that is inconsistent with ``_single_F_Y``.  Here both agree.
         """
         y = jnp.asarray(y, self.dtype)
-        z = (y[..., None] - self._c) / (np.sqrt(2.0) * self._sigma)
+        z = (y[..., None] - self._c) / (np.sqrt(2.0) * self._sigma_dev)
         return jnp.sum(self._p * 0.5 * (1.0 + jerf(z)), axis=-1)
 
     single_F_Y = F_Y  # probability-weighted scalar CDF, same math
@@ -275,7 +290,16 @@ class NoiseMapper:
         <= y}, clamped to [0, M-1].
         """
         y = jnp.asarray(y_samples, self.dtype)
-        return jnp.searchsorted(self._thr_interior, y, side="right").astype(INDEX_DTYPE)
+        # index = #{interior thresholds <= y}, accumulated one scalar
+        # threshold at a time.  Exactly searchsorted(side="right"), but pure
+        # elementwise VPU code: both jnp.searchsorted and a broadcast
+        # compare-reduce over a small trailing axis compile pathologically
+        # slowly on TPU (minutes for this shape), while M-1 unrolled
+        # compare-adds compile in <1s and run at bandwidth.
+        idx = jnp.zeros(y.shape, self.dtype)
+        for t in self._thr_tuple:
+            idx += (y >= jnp.asarray(t, self.dtype)).astype(self.dtype)
+        return idx.astype(INDEX_DTYPE)
 
     def index_to_val(self, index):
         return self._c[jnp.asarray(index)]
@@ -307,7 +331,17 @@ class NoiseMapper:
         Deviation: clamps (rather than extrapolates) below the grid start.
         """
         target = self._g_target(n_hat, jnp.asarray(i), self._g_signs())
-        return jnp.interp(target, self._F_Y, self._y_range)
+        # Gather-interpolate on the uniform-in-CDF inverse table (built on the
+        # host in __init__) instead of jnp.interp over the non-uniform forward
+        # grid: identical math, but compiles to one gather + FMA on TPU where
+        # interp/searchsorted lower to a pathologically slow sort-based form.
+        K = self._inv_K
+        t = jnp.clip(target, 0.0, 1.0) * (K - 1)
+        i0 = jnp.clip(jnp.floor(t).astype(INDEX_DTYPE), 0, K - 2)
+        frac = t - i0.astype(self.dtype)
+        y0 = self._y_of_u[i0]
+        y1 = self._y_of_u[i0 + 1]
+        return y0 + (y1 - y0) * frac
 
     def g_inv_search(self, n_hat, i, y_accuracy: float = 1e-9, iters: int = 80):
         """Inverse softening by fixed-trip bisection on the exact CDF.
@@ -321,8 +355,8 @@ class NoiseMapper:
         del y_accuracy
         i = jnp.asarray(i)
         target = self._g_target(n_hat, i, self._sign_cfg)
-        lo = jnp.full(target.shape, self._y_bracket[0], self.dtype)
-        hi = jnp.full(target.shape, self._y_bracket[1], self.dtype)
+        lo = jnp.broadcast_to(self._ybr_lo, target.shape).astype(self.dtype)
+        hi = jnp.broadcast_to(self._ybr_hi, target.shape).astype(self.dtype)
 
         def body(_, state):
             lo, hi = state
@@ -390,7 +424,7 @@ class NoiseMapper:
         c_j = self._c[j][..., None, None]               # [..., 1, 1]
         c_k = self._c[None, :]                          # broadcast over k
         base = (2.0 * y_hat[..., None] - c_k - c_j) * (c_k - c_j)
-        expo = base / (2.0 * self.noise_var)
+        expo = base / (2.0 * self._noise_var_dev)
         if ref_compat:
             k_idx = jnp.arange(self.order)
             expo = jnp.where(k_idx[None, :] < j[..., None, None], base, expo)
@@ -412,7 +446,7 @@ class NoiseMapper:
         j = jnp.atleast_1d(jnp.asarray(j))
         y_hat = self._y_hat_all_candidates(n, "interp")            # [..., M]
         a_j = self._c[j][..., None]
-        log_w = -((y_hat - a_j) ** 2) / (2.0 * self.noise_var)
+        log_w = -((y_hat - a_j) ** 2) / (2.0 * self._noise_var_dev)
         llr = self._gray_group_llr(log_w)
         return llr.reshape(*llr.shape[:-2], -1)
 
@@ -442,14 +476,14 @@ class NoiseMapper:
         c_j = self._c[j][..., None, None]
         c_m = self._c[None, :]
         expo = (2.0 * y_hat[..., None] - c_m - c_j) * (c_m - c_j) / (
-            2.0 * self.noise_var
+            2.0 * self._noise_var_dev
         )
         e_coeff = jnp.sum(self._p * jnp.exp(expo), axis=-1)        # [..., M]
         beta = self._delta_F_Y / e_coeff
         B = jnp.sum(beta, axis=-1, keepdims=True)
 
         a_j = self._c[j][..., None]
-        sq2s = np.sqrt(2.0 * self.noise_var)
+        sq2s = jnp.sqrt(2.0 * self._noise_var_dev)
         # _inf_erf is [i, j]; per sample we need the column j_s over all i.
         inf_erf_cols = self._inf_erf.T[j]                          # [..., M]
         dFZ = 0.5 * (jerf((y_hat - a_j) / sq2s) - inf_erf_cols)
@@ -485,3 +519,47 @@ class NoiseMapperAntiFlipSign(NoiseMapper):
 
     def _g_signs(self):
         return jnp.arange(self.order) >= self.half_order
+
+
+# --------------------------------------------------------------------- #
+# Pytree registration: a NoiseMapper can be passed as an argument to a
+# jitted function.  Leaves are the device tables/scalars (all with
+# SNR-independent shapes); aux data is the SNR-independent static config,
+# so different-SNR mappers hit the SAME compiled function — one compile
+# serves an entire SNR sweep.  Reconstructed (traced) instances carry only
+# the leaves + aux; host-side attributes (np_tables, alphabet, ...) exist
+# only on originals and are init/analysis-time state.
+
+_NM_LEAVES = (
+    "_F_thr", "_delta_F_Y", "_fwd", "_back", "_bare_llr", "_inf_erf",
+    "_c", "_thr_interior", "_p", "_log_p", "_sign_cfg", "_bits_mask",
+    "_y_of_u", "_sigma_dev", "_noise_var_dev", "_ybr_lo", "_ybr_hi",
+)
+_NM_AUX = (
+    "order", "half_order", "bit_per_symbol", "_inv_K", "_thr_tuple", "dtype",
+)
+
+
+def _nm_flatten(nm):
+    return (
+        tuple(getattr(nm, k) for k in _NM_LEAVES),
+        tuple(getattr(nm, k) for k in _NM_AUX),
+    )
+
+
+def _nm_unflatten(cls, aux, leaves):
+    obj = object.__new__(cls)
+    for k, v in zip(_NM_AUX, aux):
+        object.__setattr__(obj, k, v)
+    for k, v in zip(_NM_LEAVES, leaves):
+        object.__setattr__(obj, k, v)
+    return obj
+
+
+for _cls in (
+    NoiseMapper, NoiseDemapper, NoiseMapperFlipSign, NoiseMapperAntiFlipSign
+):
+    jax.tree_util.register_pytree_node(
+        _cls, _nm_flatten, functools.partial(_nm_unflatten, _cls)
+    )
+del _cls

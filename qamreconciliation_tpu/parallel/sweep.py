@@ -17,20 +17,22 @@ __all__ = ["shard_round", "sharded_sweep"]
 def shard_round(round_fn, mesh, axis_name: str = "dp"):
     """Wrap a per-device round function into a mesh-wide jitted round.
 
-    ``round_fn(key, max_iter) -> tuple of scalar counters`` runs replicated
-    per device with a decorrelated key; counters are psum-reduced so every
-    device (and the host) sees the global totals.
+    ``round_fn(key, max_iter, *args) -> tuple of scalar counters`` runs
+    replicated per device with a decorrelated key; any extra args (e.g. a
+    NoiseMapper pytree, sigma/alpha scalars) are broadcast unchanged.
+    Counters are psum-reduced so every device (and the host) sees the
+    global totals.
     """
 
-    def inner(key, max_iter):
+    def inner(key, max_iter, *args):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        counters = round_fn(key, max_iter)
+        counters = round_fn(key, max_iter, *args)
         return tuple(jax.lax.psum(jnp.asarray(c), axis_name) for c in counters)
 
     mapped = jax.shard_map(
         inner,
         mesh=mesh,
-        in_specs=(P(), P()),
+        in_specs=P(),      # single-spec prefix: everything replicated
         out_specs=P(),
         check_vma=False,
     )

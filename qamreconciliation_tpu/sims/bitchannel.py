@@ -53,6 +53,7 @@ class BitChannelEngine:
         self.frames_per_round = self.batch * (
             mesh_axis[0].devices.size if mesh_axis is not None else 1
         )
+        self._round_cache = {}
 
     def _wrap(self, round_fn):
         if self.mesh_axis is not None:
@@ -61,18 +62,19 @@ class BitChannelEngine:
             return shard_round(round_fn, *self.mesh_axis)
         return jax.jit(round_fn)
 
-    def _build_bsc_round(self, rber: float):
+    def _build_bsc_round(self):
+        """One jitted BSC round; the flip probability and its constant LLR
+        magnitude are traced scalars, so one compile serves the whole sweep."""
         B, N = self.batch, self.N
         dtype = self.dtype
-        llr0 = (math.log2(1.0 - rber) - math.log2(rber))
 
-        def round_fn(key, max_iterations):
+        def round_fn(key, max_iterations, rber, llr0):
             kw, kf = jax.random.split(key)
             word = jax.random.bernoulli(kw, 0.5, (B, N)).astype(jnp.int32)
             synd = self.mat.eval_syndrome(word)
             flipped = jax.random.bernoulli(kf, rber, (B, N)).astype(jnp.int32)
             rx = word ^ flipped
-            lappr = llr0 * (1.0 - 2.0 * rx).astype(dtype)
+            lappr = llr0.astype(dtype) * (1.0 - 2.0 * rx).astype(dtype)
             success, iters, final = _decode_inline(
                 self.dec, lappr, synd, max_iterations
             )
@@ -88,23 +90,22 @@ class BitChannelEngine:
 
         return self._wrap(round_fn)
 
-    def _build_biawgn_round(self, v: float, alpha: float, hard: bool):
+    def _build_biawgn_round(self, hard: bool):
+        """One jitted BI-AWGN round per hard/soft flavor; noise level, alpha
+        and the hard-decision LLR magnitude are traced scalars."""
         B, N = self.batch, self.N
         dtype = self.dtype
-        vsqrt = math.sqrt(v)
-        err_prob = 0.5 * erfc(1.0 / (math.sqrt(2.0) * vsqrt))
-        llr0 = float(np.log((1.0 - err_prob) / err_prob))
 
-        def round_fn(key, max_iterations):
+        def round_fn(key, max_iterations, vsqrt, inv_v_alpha2, llr0):
             kw, kn = jax.random.split(key)
             word = jax.random.bernoulli(kw, 0.5, (B, N)).astype(jnp.int32)
             synd = self.mat.eval_syndrome(word)
             tx = (1.0 - 2.0 * word).astype(dtype)
-            rx = tx + vsqrt * jax.random.normal(kn, (B, N), dtype)
+            rx = tx + vsqrt.astype(dtype) * jax.random.normal(kn, (B, N), dtype)
             if hard:
-                lappr = llr0 * jnp.sign(rx)
+                lappr = llr0.astype(dtype) * jnp.sign(rx)
             else:
-                lappr = (2.0 * alpha / v) * rx
+                lappr = inv_v_alpha2.astype(dtype) * rx
             success, iters, final = _decode_inline(
                 self.dec, lappr, synd, max_iterations
             )
@@ -120,14 +121,16 @@ class BitChannelEngine:
 
     # ------------------------------------------------------------------ #
 
-    def _run(self, round_fn, point, max_iterations, simloops, stop_fn, ber_div):
+    def _run(self, round_fn, point, max_iterations, simloops, stop_fn, ber_div,
+             *round_args):
         key = jax.random.key(0)
         err = ferr = its = succ = frames = 0
         n_rounds = max(1, math.ceil(simloops / self.frames_per_round))
         t0 = time.perf_counter()
         for r in range(n_rounds):
             e, fe, it, sc = round_fn(
-                jax.random.fold_in(key, r), jnp.int32(max_iterations)
+                jax.random.fold_in(key, r), jnp.int32(max_iterations),
+                *round_args,
             )
             err += int(e)
             ferr += int(fe)
@@ -149,11 +152,18 @@ class BitChannelEngine:
     def run_bsc_point(self, rber, max_iterations, simloops, minerr) -> PointResult:
         """Early exit: error_count > minerr and frames > max(20, simloops/100)
         (reference: sims/sim_bsc.py:75-76); BER divides by the full word."""
-        round_fn = self._build_bsc_round(float(rber))
+        round_fn = self._round_cache.get("bsc")
+        if round_fn is None:
+            round_fn = self._round_cache["bsc"] = self._build_bsc_round()
+        rber = float(rber)
+        llr0 = math.log2(1.0 - rber) - math.log2(rber)
         stop = lambda err, ferr, frames: (
             err > minerr and frames > max(20, simloops // 100)
         )
-        return self._run(round_fn, float(rber), max_iterations, simloops, stop, self.N)
+        return self._run(
+            round_fn, rber, max_iterations, simloops, stop, self.N,
+            jnp.asarray(rber, jnp.float32), jnp.asarray(llr0, self.dtype),
+        )
 
     def run_biawgn_point(
         self, ebn0_db, max_iterations, simloops, minerr, alpha=1.0, hard=False
@@ -162,10 +172,20 @@ class BitChannelEngine:
         the K info bits; early exit on bit errors
         (reference: sims/sim_decode.py:86-88)."""
         v = (10.0 ** (-float(ebn0_db) / 10.0)) / 2.0
-        round_fn = self._build_biawgn_round(v, float(alpha), bool(hard))
+        flavor = ("biawgn", bool(hard))
+        round_fn = self._round_cache.get(flavor)
+        if round_fn is None:
+            round_fn = self._round_cache[flavor] = self._build_biawgn_round(
+                bool(hard)
+            )
+        err_prob = 0.5 * erfc(1.0 / (math.sqrt(2.0) * math.sqrt(v)))
+        llr0 = float(np.log((1.0 - err_prob) / err_prob))
         stop = lambda err, ferr, frames: (
             err >= minerr and frames > simloops / 20
         )
         return self._run(
-            round_fn, float(ebn0_db), max_iterations, simloops, stop, self.K
+            round_fn, float(ebn0_db), max_iterations, simloops, stop, self.K,
+            jnp.asarray(math.sqrt(v), self.dtype),
+            jnp.asarray(2.0 * alpha / v, self.dtype),
+            jnp.asarray(llr0, self.dtype),
         )

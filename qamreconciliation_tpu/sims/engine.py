@@ -129,22 +129,29 @@ class ReconciliationEngine:
             jnp.sum(success),
         )
 
-    def _build_round(self, mode: str, nm: NoiseMapper | None, noise_sigma, alpha):
+    def _build_round(self, mode: str):
+        """One jitted round per MODE — SNR enters through traced arguments.
+
+        The NoiseMapper rides in as a pytree argument (its device tables all
+        have SNR-independent shapes, see models/noisemapper.py) and
+        sigma/alpha as device scalars, so a single compilation serves every
+        point of an SNR sweep.  This matters doubly on remote-compile TPU
+        backends where each new program costs seconds to minutes.
+        """
         pa, B = self.pa, self.batch
-        two_var = float(noise_sigma) ** 2 * 2.0
         dtype = self.dtype
 
-        def round_fn(key, max_iterations):
+        def round_fn(key, max_iterations, nm, sigma, alpha):
             kx, kn = jax.random.split(key)
             x = pa.random_symbols(kx, (B, self.N_symb))
-            y = pa.index_to_value(x, dtype) + noise_sigma * jax.random.normal(
-                kn, (B, self.N_symb), dtype
-            )
+            y = pa.index_to_value(x, dtype) + sigma.astype(
+                dtype
+            ) * jax.random.normal(kn, (B, self.N_symb), dtype)
             if mode == "softening":
                 x_hat = nm.hard_decide_index(y)
                 n_hat = nm.map_noise(y, x_hat)
                 word = pa.demap_symbols_to_bits(x_hat)
-                lappr = alpha * nm.demap_lappr_array(
+                lappr = alpha.astype(dtype) * nm.demap_lappr_array(
                     n_hat, x, mode=self.llr_mode
                 )
             elif mode == "hard":
@@ -152,6 +159,7 @@ class ReconciliationEngine:
                 word = pa.demap_symbols_to_bits(x_hat)
                 lappr = nm.bare_llr(x)
             elif mode == "direct":
+                two_var = 2.0 * sigma.astype(dtype) ** 2
                 word = pa.demap_symbols_to_bits(x)
                 lappr = y_to_lappr_gray(y, pa.constellation, two_var, dtype)
             else:
@@ -192,14 +200,12 @@ class ReconciliationEngine:
             cfg = nmconfig if mode == "softening" else None
             nm = NoiseMapper(self.pa, N0, cfg, dtype=self.dtype)
 
-        cache_key = (mode, float(snr_dB), float(alpha),
-                     None if nmconfig is None else tuple(np.asarray(nmconfig)))
-        round_fn = self._round_cache.get(cache_key)
+        round_fn = self._round_cache.get(mode)
         if round_fn is None:
-            round_fn = self._build_round(mode, nm, sigma, alpha)
-            self._round_cache[cache_key] = round_fn
-            if len(self._round_cache) > 8:
-                self._round_cache.pop(next(iter(self._round_cache)))
+            round_fn = self._build_round(mode)
+            self._round_cache[mode] = round_fn
+        sigma_dev = jnp.asarray(sigma, self.dtype)
+        alpha_dev = jnp.asarray(alpha, self.dtype)
 
         key = jax.random.key(seed)
         err_count = 0
@@ -214,7 +220,8 @@ class ReconciliationEngine:
         t0 = time.perf_counter()
         for r in range(n_rounds):
             errs, ferrs, iters, succ = round_fn(
-                jax.random.fold_in(key, r), jnp.int32(decoder_iterations)
+                jax.random.fold_in(key, r), jnp.int32(decoder_iterations),
+                nm, sigma_dev, alpha_dev,
             )
             err_count += int(errs)
             frame_error_count += int(ferrs)

@@ -46,15 +46,23 @@ def test_sharded_round_equals_manual_per_device_sum(setup):
 
     nm = NoiseMapper(pa, N0, cfg, dtype=jnp.float64)
 
-    shard_fn = eng_sharded._build_round("softening", nm, sigma, 1.0)
-    local_fn = eng_local._build_round("softening", nm, sigma, 1.0)
+    shard_fn = eng_sharded._build_round("softening")
+    local_fn = eng_local._build_round("softening")
+    sigma_dev = jnp.asarray(sigma, jnp.float64)
+    alpha_dev = jnp.asarray(1.0, jnp.float64)
 
     key = jax.random.key(42)
-    got = [int(x) for x in shard_fn(key, jnp.int32(20))]
+    got = [
+        int(x)
+        for x in shard_fn(key, jnp.int32(20), nm, sigma_dev, alpha_dev)
+    ]
 
     expect = [0, 0, 0, 0]
     for d in range(8):
-        res = local_fn(jax.random.fold_in(key, d), jnp.int32(20))
+        res = local_fn(
+            jax.random.fold_in(key, d), jnp.int32(20), nm, sigma_dev,
+            alpha_dev,
+        )
         expect = [a + int(b) for a, b in zip(expect, res)]
 
     assert got == expect

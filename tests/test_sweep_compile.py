@@ -1,0 +1,106 @@
+"""Sweep-wide compile reuse + numpy-oracle sanity.
+
+The engine passes the NoiseMapper as a pytree argument with SNR-independent
+table shapes (models/noisemapper.py), so one compiled round function must
+serve every SNR point — critical on remote-compile TPU backends where each
+new program costs minutes.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qamreconciliation_tpu import Decoder, Matrix, PAMAlphabet
+from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+from qamreconciliation_tpu.sims import ReconciliationEngine
+from qamreconciliation_tpu.sims.bitchannel import BitChannelEngine
+from qamreconciliation_tpu.utils import make_regular_ldpc
+
+
+def _setup(n=120, dtype=jnp.float32):
+    vid, cid = make_regular_ldpc(n, 3, 6, seed=2)
+    return Decoder(vid, cid, dtype=dtype), Matrix(vid, cid), PAMAlphabet(2, 2.0)
+
+
+def test_one_compile_serves_all_snr_points():
+    dec, mat, pa = _setup()
+    eng = ReconciliationEngine(dec, mat, pa, batch=8)
+    for snr in [1.0, 3.0, 5.0]:
+        eng.run_point("softening", snr, 10, 8, 10**9)
+    assert list(eng._round_cache) == ["softening"]
+    # the jitted round retraced exactly once across all three SNR points
+    assert eng._round_cache["softening"]._cache_size() == 1
+
+
+def test_one_compile_serves_flip_sign_configs():
+    """Different sign_config VALUES (same shape) must not retrace."""
+    dec, mat, pa = _setup()
+    eng = ReconciliationEngine(dec, mat, pa, batch=8)
+    base = np.zeros(pa.order, np.uint8)
+    alt = base.copy()
+    alt[1::2] = 1
+    eng.run_point("softening", 4.0, 10, 8, 10**9, nmconfig=base)
+    eng.run_point("softening", 4.0, 10, 8, 10**9, nmconfig=alt)
+    assert eng._round_cache["softening"]._cache_size() == 1
+
+
+def test_bitchannel_one_compile_per_flavor():
+    dec, mat, _ = _setup()
+    eng = BitChannelEngine(dec, mat, batch=8)
+    for f in [0.01, 0.03, 0.05]:
+        eng.run_bsc_point(f, 10, 8, 10**9)
+    assert eng._round_cache["bsc"]._cache_size() == 1
+    for snr in [1.0, 2.0]:
+        eng.run_biawgn_point(snr, 10, 8, 10**9)
+    assert eng._round_cache[("biawgn", False)]._cache_size() == 1
+
+
+def test_noisemapper_is_pytree():
+    pa = PAMAlphabet(2, 2.0)
+    nm = NoiseMapper(pa, 0.5)
+    leaves, treedef = jax.tree_util.tree_flatten(nm)
+    assert len(leaves) > 10
+    nm2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    # reconstructed instance supports the traced ops
+    y = jnp.linspace(-4.0, 4.0, 64)
+    np.testing.assert_allclose(
+        np.asarray(nm2.F_Y(y)), np.asarray(nm.F_Y(y)), rtol=1e-6
+    )
+    idx = nm2.hard_decide_index(y)
+    np.testing.assert_array_equal(
+        np.asarray(idx), np.asarray(nm.hard_decide_index(y))
+    )
+
+
+def test_numpy_oracle_end_to_end_decodes():
+    """Oracle-generated frames decode cleanly at high SNR: the float64 host
+    pipeline and the device decoder agree on the Gray-word convention."""
+    from qamreconciliation_tpu.utils.reference_np import softening_frames_np
+
+    dec, mat, pa = _setup(n=120, dtype=jnp.float64)
+    snr = 10.0
+    N0 = pa.variance * 10 ** (-snr / 10) / 2
+    nm = NoiseMapper(pa, N0, dtype=jnp.float64)
+    lappr, word = softening_frames_np(nm, pa, 4, 60, seed=3)
+    assert lappr.shape == (4, 120) and word.shape == (4, 120)
+    synd = np.asarray(mat.eval_syndrome(word))
+    success, iters, final = dec.decode_batch(lappr, synd, 30)
+    assert bool(jnp.all(success))
+    hard = np.asarray(final) < 0
+    np.testing.assert_array_equal(hard.astype(np.uint8), word)
+
+
+def test_numpy_oracle_matches_device_llr_distribution():
+    """Oracle LLR signs at moderate SNR mostly agree with Bob's word —
+    basic direction/scale sanity for the host pipeline."""
+    from qamreconciliation_tpu.utils.reference_np import softening_frames_np
+
+    pa = PAMAlphabet(2, 2.0)
+    snr = 6.0
+    N0 = pa.variance * 10 ** (-snr / 10) / 2
+    nm = NoiseMapper(pa, N0, dtype=jnp.float64)
+    lappr, word = softening_frames_np(nm, pa, 8, 256, seed=11)
+    agree = np.mean((lappr < 0).astype(np.uint8) == word)
+    assert agree > 0.9
