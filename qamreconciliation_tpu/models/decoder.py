@@ -199,45 +199,72 @@ class Decoder:
         dtype = self.dtype
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
-            """prior [V, B], synd [C, B] -> (success [B], iters [B], final [V, B])."""
+            """prior [V, B], synd [C, B] -> (success [B], iters [B], final [V, B]).
+
+            Two gathers per iteration instead of three: the variable->check
+            messages are reconstructed in check-major layout directly as
+            ``total[c_vids] - c2v_c`` (numerically identical to permuting the
+            var-major extrinsics, since total - c2v is formed from the same
+            float pairs), and the syndrome convergence test reuses the same
+            gathered totals instead of re-gathering hard bits.
+            """
             # created per trace (never cached): safe under nested jit
             v_mask, c_mask = g._masks(str(dtype))
             synd_cb = synd_cb.astype(jnp.int32)
-
-            done0 = g.lappr_consistent(prior_vb, synd_cb)
-
             B = prior_vb.shape[1]
-            v2c0 = jnp.broadcast_to(
-                prior_vb[:, None, :], (g.vnum, g.dv_max, B)
-            ).astype(dtype)
+            prior_vb = prior_vb.astype(dtype)
+            c_mask_i = jnp.asarray(g._c_mask_np, jnp.int32).reshape(
+                g.cnum, g.dc_max
+            )
+
+            def consistent_from_gather(t_c):
+                """Per-frame syndrome test from gathered totals t_c [C, dc, B]."""
+                bits = (t_c < 0).astype(jnp.int32) * c_mask_i[:, :, None]
+                parity = jnp.sum(bits, axis=1) & 1
+                return jnp.all(parity == synd_cb, axis=0)
+
+            def gather_totals(total):
+                return total[g._c_vids].reshape(g.cnum, g.dc_max, B)
 
             def cond(state):
                 it, _, _, done, _ = state
                 return jnp.logical_and(it < max_iterations, ~jnp.all(done))
 
             def body(state):
-                it, v2c, total, done, iters = state
-                v2c_c = g.permute_v_to_c(v2c.reshape(-1, B))
-                c2v_c = check_node_update(v2c_c, synd_cb, c_mask)
-                c2v_v = g.permute_c_to_v(c2v_c.reshape(-1, B))
-                total_new, v2c_new = var_node_update(prior_vb, c2v_v, v_mask)
+                it, c2v_c, total, done, iters = state
+                t_c = gather_totals(total)                     # gather 1
+                # convergence of the CURRENT totals (after iteration `it`):
+                # at it=0 this is the reference's pre-check of the priors
+                # (reference: qamreconciliation/decoder.pyx:402-405).
+                conv = consistent_from_gather(t_c)
+                newly = jnp.logical_and(conv, ~done)
+                iters_new = jnp.where(newly, it, iters)
+                done_new = jnp.logical_or(done, conv)
 
-                upd = ~done
+                v2c_c = t_c - c2v_c
+                c2v_new = check_node_update(v2c_c, synd_cb, c_mask)
+                c2v_v = g.permute_c_to_v(c2v_new.reshape(-1, B))  # gather 2
+                total_new, _ = var_node_update(prior_vb, c2v_v, v_mask)
+
+                upd = ~done_new
                 total_out = jnp.where(upd[None, :], total_new, total)
-                v2c_out = jnp.where(upd[None, None, :], v2c_new, v2c)
-                conv = g.lappr_consistent(total_out, synd_cb)
-                newly = jnp.logical_and(conv, upd)
-                iters_out = jnp.where(newly, it + 1, iters)
-                return (it + 1, v2c_out, total_out, jnp.logical_or(done, conv), iters_out)
+                c2v_out = jnp.where(upd[None, None, :], c2v_new, c2v_c)
+                return (it + 1, c2v_out, total_out, done_new, iters_new)
 
             init = (
                 jnp.int32(0),
-                v2c0,
-                prior_vb.astype(dtype),
-                done0,
-                jnp.zeros(prior_vb.shape[1], jnp.int32),
+                jnp.zeros((g.cnum, g.dc_max, B), dtype),
+                prior_vb,
+                jnp.zeros(B, bool),
+                jnp.zeros(B, jnp.int32),
             )
-            _, _, total, done, iters = jax.lax.while_loop(cond, body, init)
+            it, _, total, done, iters = jax.lax.while_loop(cond, body, init)
+            # frames that converged exactly at the final allowed iteration
+            # exit the loop untested — one final syndrome test covers them.
+            conv = consistent_from_gather(gather_totals(total))
+            newly = jnp.logical_and(conv, ~done)
+            iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
+            done = jnp.logical_or(done, conv)
             iters = jnp.where(done, iters, max_iterations)
             return done, iters, total
 
