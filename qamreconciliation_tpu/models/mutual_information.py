@@ -20,6 +20,8 @@ I(X,N;Xhat) accumulates with ``-=`` and comes out positive
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 from scipy.integrate import quad
 
@@ -134,28 +136,17 @@ def mutual_information_X_Y(nm: NoiseMapper) -> float:
 
 # --------------------------------------------------------------------- #
 
-def montecarlo_information(
-    key,
-    pa: PAMAlphabet,
-    nm: NoiseMapper,
-    p_Xhat,
-    N: int,
-    which=(True, True, True),
-):
-    """Monte-Carlo estimators of (I_X_Xhat, I_X_Y, I_XN_Xhat), batched.
-
-    Batched re-design of reference: mutual_information.pyx:212-300 — the
-    O(N*M^2) per-sample loops become one ``[N, M, M]`` tensor contraction —
-    with the reference's sign conventions (see module docstring).  ``which``
-    is a static 3-tuple of bools selecting the estimators (reference's uint8
-    mask argument); unselected entries return 0.0.
-
-    Takes an explicit PRNG ``key`` (the reference uses global np.random).
-    """
+@functools.partial(
+    jax.jit, static_argnames=("pa", "N", "which"),
+)
+def _mc_info(key, pa, nm, p_Xhat_dev, N, which):
+    """Single-program MC estimator core; nm rides in as a pytree argument,
+    so one compile serves every SNR point of a sweep (the alphabet is static
+    via its hash — identity-based, alphabets are built once per sweep)."""
     dtype = nm.dtype
     kx, kn = jax.random.split(jnp.asarray(key))
     x_ind = pa.random_symbols(kx, N)
-    y = pa.index_to_value(x_ind, dtype) + nm.noise_sigma * jax.random.normal(
+    y = pa.index_to_value(x_ind, dtype) + nm._sigma_dev * jax.random.normal(
         kn, (N,), dtype
     )
     xhat_ind = nm.hard_decide_index(y)
@@ -164,24 +155,22 @@ def montecarlo_information(
     c = nm._c
     p = nm._p
     x_val = c[x_ind]
-    two_var = 2.0 * nm.noise_var
-    p_Xhat_dev = jnp.asarray(np.asarray(p_Xhat), dtype)
+    two_var = 2.0 * nm._noise_var_dev
     fwd = nm._fwd
     dF = nm._delta_F_Y
     log2e = 1.0 / np.log(2.0)
 
-    I_X_Xhat = 0.0
-    I_X_Y = 0.0
-    I_XN_Xhat = 0.0
+    zero = jnp.asarray(0.0, dtype)
+    I_X_Xhat = I_X_Y = I_XN_Xhat = zero
 
     if which[0]:
-        I_X_Xhat = float(
-            jnp.mean(jnp.log2(p_Xhat_dev[xhat_ind] / fwd[x_ind, xhat_ind]))
+        I_X_Xhat = jnp.mean(
+            jnp.log2(p_Xhat_dev[xhat_ind] / fwd[x_ind, xhat_ind])
         )
 
     if which[1]:
         expo = (2.0 * y[:, None] - c - x_val[:, None]) * (c - x_val[:, None]) / two_var
-        I_X_Y = float(jnp.mean(logsumexp(expo + nm._log_p, axis=1)) * log2e)
+        I_X_Y = jnp.mean(logsumexp(expo + nm._log_p, axis=1)) * log2e
 
     if which[2]:
         # y_hat for every candidate decision k: grid interp for k != xhat
@@ -204,6 +193,32 @@ def montecarlo_information(
         denom_hat = jnp.take_along_axis(denom, xhat_ind[:, None], 1)[:, 0]
         dF_hat = dF[xhat_ind]
         val = (tmp_sum * denom_hat / dF_hat + 1.0) * p_Xhat_dev[xhat_ind]
-        I_XN_Xhat = float(-jnp.mean(jnp.log2(val)))
+        I_XN_Xhat = -jnp.mean(jnp.log2(val))
 
     return I_X_Xhat, I_X_Y, I_XN_Xhat
+
+
+def montecarlo_information(
+    key,
+    pa: PAMAlphabet,
+    nm: NoiseMapper,
+    p_Xhat,
+    N: int,
+    which=(True, True, True),
+):
+    """Monte-Carlo estimators of (I_X_Xhat, I_X_Y, I_XN_Xhat), batched.
+
+    Batched re-design of reference: mutual_information.pyx:212-300 — the
+    O(N*M^2) per-sample loops become one ``[N, M, M]`` tensor contraction —
+    with the reference's sign conventions (see module docstring).  ``which``
+    is a static 3-tuple of bools selecting the estimators (reference's uint8
+    mask argument); unselected entries return 0.0.
+
+    Takes an explicit PRNG ``key`` (the reference uses global np.random).
+    The whole estimator is ONE jitted program; the NoiseMapper is a pytree
+    argument, so repeated calls across iterations and SNR points reuse a
+    single compilation.
+    """
+    p_Xhat_dev = jnp.asarray(np.asarray(p_Xhat), nm.dtype)
+    a, b, c = _mc_info(key, pa, nm, p_Xhat_dev, int(N), tuple(which))
+    return float(a), float(b), float(c)

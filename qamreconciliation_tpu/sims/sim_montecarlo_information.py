@@ -43,14 +43,17 @@ def main(argv=None):
     EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
     state = SweepState(args.out, resume=args.resume)
 
+    # One alphabet for the whole sweep: it is a static (identity-hashed)
+    # argument of the jitted MC estimator, so rebuilding it per point would
+    # force a recompile per point.
+    pa = PAMAlphabet(args.bps, 2)
+    Es = pa.variance
     rows = []
     for i, esn0db in enumerate(EsN0dB):
         prev = state.done(esn0db)
         if prev is not None:
             rows.append((prev["point"], prev["ixxh"], prev["ixy"], prev["ixnxh"]))
             continue
-        pa = PAMAlphabet(args.bps, 2)
-        Es = pa.variance
         N0 = Es * (10 ** (-esn0db / 10)) / 2
         nm = NoiseMapper(pa, N0, dtype=np.dtype(args.dtype))
         p_Xhat = P_xhat(nm)

@@ -74,10 +74,11 @@ def main(argv=None):
     print(config_array)
 
     EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
+    # One alphabet for the whole sweep (static arg of the jitted MC core).
+    pa = PAMAlphabet(args.bps, 2)
+    Es = pa.variance
     rows = []
     for i, esn0db in enumerate(EsN0dB):
-        pa = PAMAlphabet(args.bps, 2)
-        Es = pa.variance
         N0 = Es * (10 ** (-esn0db / 10)) / 2
         res = [float(esn0db)]
         for k in range(config_count):
