@@ -1,0 +1,105 @@
+"""Streaming reconciliation: boundary carry-over + end-to-end decode."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qamreconciliation_tpu import Decoder, Matrix, PAMAlphabet
+from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+from qamreconciliation_tpu.sims.streaming import StreamReconciler
+from qamreconciliation_tpu.utils import make_regular_ldpc
+
+
+@pytest.fixture(scope="module")
+def chain():
+    vid, cid = make_regular_ldpc(240, 3, 6, seed=9)
+    dec = Decoder(vid, cid, dtype=jnp.float64)
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    snr = 9.0
+    N0 = pa.variance * 10 ** (-snr / 10) / 2
+    nm = NoiseMapper(pa, N0, dtype=jnp.float64)
+    return dec, mat, pa, nm, np.sqrt(N0)
+
+
+def _run_stream(chain, chunk_sizes, n_frames=7, batch=3, seed=0):
+    dec, mat, pa, nm, sigma = chain
+    sr = StreamReconciler(dec, mat, pa, nm, batch=batch)
+    rng = np.random.default_rng(seed)
+    S = sr.N_symb
+    x = rng.integers(0, pa.order, n_frames * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+
+    words, synds, nhats = [], [], []
+    pos = 0
+    for sz in chunk_sizes(x.size):
+        w, s, nh = sr.bob_process(y[pos:pos + sz])
+        if w.shape[0]:
+            words.append(w)
+            synds.append(s)
+            nhats.append(nh)
+        pos += sz
+    words = np.concatenate(words)
+    synds = np.concatenate(synds)
+    nhats = np.concatenate(nhats)
+    assert words.shape[0] == n_frames
+
+    res = StreamReconciler.alice_process(
+        sr, nhats, x, synds, max_iterations=30
+    )
+    return sr, words, res
+
+
+def irregular_chunks(total):
+    """Chunk sizes deliberately misaligned with the frame length."""
+    sizes = []
+    left = total
+    k = 17
+    while left > 0:
+        sz = min(left, k)
+        sizes.append(sz)
+        left -= sz
+        k = (k * 7) % 97 + 11
+    return sizes
+
+
+def test_stream_misaligned_chunks_decode(chain):
+    sr, bob_words, res = _run_stream(chain, irregular_chunks)
+    assert res.frames == bob_words.shape[0]
+    # high SNR: every frame decodes to Bob's word
+    assert all(res.success)
+    for got, expect in zip(res.decoded_words, bob_words):
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_stream_matches_single_shot(chain):
+    """Streamed processing == one-shot processing of the same samples."""
+    _, words_a, res_a = _run_stream(chain, irregular_chunks, seed=4)
+    _, words_b, res_b = _run_stream(
+        chain, lambda total: [total], seed=4
+    )
+    np.testing.assert_array_equal(words_a, words_b)
+    assert res_a.success == res_b.success
+    assert res_a.iterations == res_b.iterations
+
+
+def test_stream_carry_preserved(chain):
+    dec, mat, pa, nm, sigma = chain
+    sr = StreamReconciler(dec, mat, pa, nm, batch=2)
+    S = sr.N_symb
+    rng = np.random.default_rng(2)
+    y = rng.normal(0, 2, S + 5)
+    w, s, nh = sr.bob_process(y[: S // 2])          # less than one frame
+    assert w.shape[0] == 0
+    w, s, nh = sr.bob_process(y[S // 2:])           # completes frame 1
+    assert w.shape[0] == 1
+    assert sr._carry_y.size == 5                     # tail carried
+
+
+def test_stream_result_fer(chain):
+    from qamreconciliation_tpu.sims.streaming import StreamResult
+
+    r = StreamResult()
+    assert r.fer == 0.0
+    r.success = [True, False, True, True]
+    assert r.fer == pytest.approx(0.25)
