@@ -272,6 +272,11 @@ class NoiseMapper:
         Deviation (a): the reference's public ``F_Y`` weighs components
         uniformly (reference: noisemapper.pyx:264-275); for shaped alphabets
         that is inconsistent with ``_single_F_Y``.  Here both agree.
+
+        Kept in the trailing-axis broadcast form: an unrolled per-component
+        accumulation was measured strictly worse on the remote-compile TPU
+        backend (66-122s compiles, same ~27ms runtime) because per-component
+        scalar reads from device leaf arrays generate pathological code.
         """
         y = jnp.asarray(y, self.dtype)
         z = (y[..., None] - self._c) / (np.sqrt(2.0) * self._sigma_dev)
@@ -419,19 +424,56 @@ class NoiseMapper:
         """
         n = jnp.atleast_1d(jnp.asarray(n, self.dtype))
         j = jnp.atleast_1d(jnp.asarray(j))
-        y_hat = self._y_hat_all_candidates(n, mode)     # [..., M]
+        M = self.order
+        S = n.shape[-1]
+        lead = n.shape[:-1]
 
-        c_j = self._c[j][..., None, None]               # [..., 1, 1]
-        c_k = self._c[None, :]                          # broadcast over k
-        base = (2.0 * y_hat[..., None] - c_k - c_j) * (c_k - c_j)
-        expo = base / (2.0 * self._noise_var_dev)
-        if ref_compat:
-            k_idx = jnp.arange(self.order)
-            expo = jnp.where(k_idx[None, :] < j[..., None, None], base, expo)
-        log_sums = logsumexp(expo + self._log_p, axis=-1)          # [..., M]
-        log_w = jnp.log(self._delta_F_Y) - log_sums
-        llr = self._gray_group_llr(log_w)               # [..., bps]
-        return llr.reshape(*llr.shape[:-2], -1)
+        # Lane-flat layout: the M candidate decisions are flattened INTO the
+        # sample (lane) dimension via repeat/tile — pure reshapes, no
+        # transposes, no small trailing axes.  The true-symbol sum over k is
+        # unrolled as an overflow-safe two-pass logsumexp accumulation.
+        # (A [..., M] trailing candidate axis runs at M/128 lane utilization
+        # and an M-leading + moveaxis layout triggers multi-minute compiles
+        # on the remote-compile TPU backend; this formulation measured 0.3 ms
+        # for 128x32400 samples vs ~230 ms for the trailing-axis form.)
+        nf = n.reshape(-1)                              # [T]
+        jf = j.reshape(-1)
+        T = nf.shape[0]
+        nn = jnp.repeat(nf, M)                          # [T*M]
+        ii = jnp.tile(jnp.arange(M), T)                 # [T*M]
+        if mode == "search":
+            y_hat = self.g_inv_search(nn, ii)
+        else:
+            y_hat = self.g_inv(nn, ii)
+
+        c_j = jnp.repeat(self._c[jf], M)                # [T*M]
+        j_rep = jnp.repeat(jf, M) if ref_compat else None
+
+        def expo_k(k):
+            base = (2.0 * y_hat - self._c[k] - c_j) * (self._c[k] - c_j)
+            e = base / (2.0 * self._noise_var_dev)
+            if ref_compat:
+                # quirk (b): k<j terms keep the raw (un-normalized) exponent
+                e = jnp.where(j_rep > k, base, e)
+            return e + self._log_p[k]
+
+        m = expo_k(0)
+        for k in range(1, M):
+            m = jnp.maximum(m, expo_k(k))
+        acc = jnp.zeros_like(m)
+        for k in range(M):
+            acc = acc + jnp.exp(expo_k(k) - m)
+        log_sums = jnp.log(acc) + m                     # [T*M]
+        log_w = jnp.tile(jnp.log(self._delta_F_Y), T) - log_sums
+
+        # Gray-bit grouping: [T, 1, M] against [1, bps, M] masks; the only
+        # small-trailing-axis op left is this float logsumexp pair.
+        lw = log_w.reshape(T, 1, M)
+        mask1 = (self._bits_mask > 0).T[None]           # [1, bps, M]
+        neg_inf = jnp.array(-jnp.inf, self.dtype)
+        num = logsumexp(jnp.where(mask1, neg_inf, lw), axis=-1)   # [T, bps]
+        den = logsumexp(jnp.where(mask1, lw, neg_inf), axis=-1)
+        return (num - den).reshape(*lead, S * self.bit_per_symbol)
 
     def demap_lappr(self, n, j, mode: str = "search", ref_compat: bool = False):
         """Single-sample wrapper (reference: noisemapper.pyx:450-540)."""
