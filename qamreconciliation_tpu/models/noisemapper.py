@@ -457,12 +457,13 @@ class NoiseMapper:
                 e = jnp.where(j_rep > k, base, e)
             return e + self._log_p[k]
 
-        m = expo_k(0)
-        for k in range(1, M):
-            m = jnp.maximum(m, expo_k(k))
+        expos = [expo_k(k) for k in range(M)]           # each [T*M]
+        m = expos[0]
+        for e in expos[1:]:
+            m = jnp.maximum(m, e)
         acc = jnp.zeros_like(m)
-        for k in range(M):
-            acc = acc + jnp.exp(expo_k(k) - m)
+        for e in expos:
+            acc = acc + jnp.exp(e - m)
         log_sums = jnp.log(acc) + m                     # [T*M]
         log_w = jnp.tile(jnp.log(self._delta_F_Y), T) - log_sums
 
