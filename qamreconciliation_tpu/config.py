@@ -24,5 +24,6 @@ def finite_llr_max(dtype) -> float:
     (reference: qamreconciliation/noisemapper.pyx:218).  In float32 that would
     overflow to inf and poison sums, so we clamp to a quarter of the dtype max.
     """
-    fi = np.finfo(np.dtype(dtype))
+    # jnp.finfo understands ml_dtypes (bfloat16 etc.) where np.finfo does not
+    fi = jnp.finfo(jnp.dtype(dtype))
     return min(1e300, float(fi.max) / 4)

@@ -78,3 +78,23 @@ def test_llr_modes_agree_statistically(code):
     # identical keys + near-identical LLRs -> (almost) identical counters
     assert abs(ri.fer - rs.fer) < 0.05
     assert abs(ri.ber - rs.ber) < 0.01
+
+
+def test_bfloat16_round_runs():
+    """--dtype bfloat16 end-to-end (regression: finite_llr_max used np.finfo
+    which rejects ml_dtypes)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from qamreconciliation_tpu import Decoder, Matrix, PAMAlphabet
+    from qamreconciliation_tpu.sims.engine import ReconciliationEngine
+    from qamreconciliation_tpu.utils import make_regular_ldpc
+
+    vid, cid = make_regular_ldpc(120, 3, 6, seed=8)
+    dec = Decoder(vid, cid, dtype=jnp.bfloat16)
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    eng = ReconciliationEngine(dec, mat, pa, batch=8, dtype=jnp.bfloat16)
+    r = eng.run_point("softening", 6.0, 15, 16, 10**9,
+                      nmconfig=np.zeros(4, np.uint8))
+    assert 0.0 <= r.ber <= 1.0
+    assert r.frames == 16
