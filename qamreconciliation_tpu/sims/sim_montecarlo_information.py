@@ -59,14 +59,25 @@ def main(argv=None):
         p_Xhat = P_xhat(nm)
 
         key = jax.random.key(args.seed + 7919 * i)
+        # Fold iterations into fewer, larger estimator calls (identical
+        # sample-mean estimator): per-call device dispatch costs tens of ms
+        # on the remote TPU tunnel, so niters x small calls would be
+        # dispatch-bound.  Cap the per-call sample count to bound memory of
+        # the [N, M, M] intermediate.
+        chunk_iters = max(1, min(args.niters, (1 << 21) // args.samples_per_iter))
         acc = np.zeros(3)
-        for it in range(args.niters):
-            acc += np.asarray(
+        done_iters = 0
+        it = 0
+        while done_iters < args.niters:
+            take = min(chunk_iters, args.niters - done_iters)
+            acc += take * np.asarray(
                 montecarlo_information(
                     jax.random.fold_in(key, it), pa, nm, p_Xhat,
-                    args.samples_per_iter,
+                    args.samples_per_iter * take,
                 )
             )
+            done_iters += take
+            it += 1
         acc /= args.niters
         state.record(esn0db, dict(ixxh=acc[0], ixy=acc[1], ixnxh=acc[2]))
         rows.append((float(esn0db), acc[0], acc[1], acc[2]))
