@@ -129,8 +129,9 @@ class ReconciliationEngine:
             jnp.sum(success),
         )
 
-    def _build_round(self, mode: str):
-        """One jitted round per MODE — SNR enters through traced arguments.
+    def _build_round_body(self, mode: str):
+        """The raw (unjitted) round function for MODE — SNR enters through
+        traced arguments.
 
         The NoiseMapper rides in as a pytree argument (its device tables all
         have SNR-independent shapes, see models/noisemapper.py) and
@@ -166,6 +167,11 @@ class ReconciliationEngine:
                 raise ValueError(mode)
             return self._decode_and_count(lappr, word, max_iterations)
 
+        return round_fn
+
+    def _build_round(self, mode: str):
+        """Jitted (and, with a mesh, shard_mapped) round for MODE."""
+        round_fn = self._build_round_body(mode)
         if self.mesh_axis is not None:
             from ..parallel.sweep import shard_round
 
@@ -249,6 +255,110 @@ class ReconciliationEngine:
             frames=frames,
             frames_per_s=frames / elapsed if elapsed > 0 else 0.0,
         )
+
+    # ------------------------------------------------------------------ #
+    # SNR-point-batched sweep: all points advance in ONE device dispatch.
+
+    def run_sweep_batched(
+        self,
+        mode: str,
+        snr_points,
+        decoder_iterations: int,
+        simulation_loops: int,
+        ferr_count_min: int,
+        alpha: float = 1.0,
+        nmconfig=None,
+        seed: int = 0,
+    ) -> list[PointResult]:
+        """Run ALL SNR points together, vmapped over the point axis.
+
+        The NoiseMapper's device tables have SNR-independent shapes, so the
+        per-point mappers stack into one pytree with a leading point axis and
+        the whole sweep becomes ``vmap(round)`` — realizing SURVEY.md §2's
+        "SNR-point x frame-shard DP": every dispatch advances every
+        unfinished point by one frame batch, amortizing the per-dispatch
+        overhead of the remote TPU tunnel across the grid.
+
+        Early exit is per point: finished points keep computing inside the
+        lockstep vmap (bounded waste) but stop accumulating counters.
+        Results match ``run_point`` semantics per point (same counters, same
+        stopping rule) with decorrelated per-point RNG streams.
+        """
+        snr_points = [float(s) for s in snr_points]
+        P = len(snr_points)
+        Es = self.pa.variance
+        N0s = [Es * (10.0 ** (-s / 10.0)) / 2.0 for s in snr_points]
+
+        if mode in ("softening", "hard"):
+            cfg = nmconfig if mode == "softening" else None
+            nms = [
+                NoiseMapper(self.pa, n0, cfg, dtype=self.dtype) for n0 in N0s
+            ]
+            nm_stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *nms
+            )
+        else:
+            nm_stack = None
+        sigma_vec = jnp.asarray(np.sqrt(N0s), self.dtype)
+        alpha_vec = jnp.full(P, alpha, self.dtype)
+
+        cache_key = ("vmap", mode, P)
+        vround = self._round_cache.get(cache_key)
+        if vround is None:
+            base = self._build_round_body(mode)
+            vround = jax.jit(
+                jax.vmap(base, in_axes=(0, None, 0, 0, 0))
+            )
+            self._round_cache[cache_key] = vround
+
+        key = jax.random.key(seed)
+        point_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(P)
+        )
+
+        counters = np.zeros((P, 4), np.int64)
+        frames = np.zeros(P, np.int64)
+        active = np.ones(P, bool)
+        n_rounds = max(1, math.ceil(simulation_loops / self.frames_per_round))
+
+        import time
+
+        t0 = time.perf_counter()
+        for r in range(n_rounds):
+            keys_r = jax.vmap(
+                lambda k: jax.random.fold_in(k, r)
+            )(point_keys)
+            out = vround(
+                keys_r, jnp.int32(decoder_iterations), nm_stack, sigma_vec,
+                alpha_vec,
+            )
+            out_np = np.stack([np.asarray(c) for c in out], axis=1)  # [P, 4]
+            counters[active] += out_np[active]
+            frames[active] += self.frames_per_round
+            active &= ~(
+                (counters[:, 1] >= ferr_count_min)
+                & (frames > simulation_loops / 20)
+            )
+            if not active.any():
+                break
+        elapsed = time.perf_counter() - t0
+
+        total_fps = (
+            float(frames.sum()) / elapsed if elapsed > 0 else 0.0
+        )  # aggregate over the whole grid (points share every dispatch)
+        results = []
+        for p, snr in enumerate(snr_points):
+            err, ferr, its, succ = (int(v) for v in counters[p])
+            f = int(frames[p])
+            results.append(PointResult(
+                snr_dB=snr,
+                ber=err / (f * self.K),
+                fer=ferr / f,
+                iters=0.0 if succ == 0 else its / succ,
+                frames=f,
+                frames_per_s=total_fps,
+            ))
+        return results
 
 
 def _decode_inline(dec: Decoder, lappr, synd, max_iterations):

@@ -63,6 +63,9 @@ def build_parser():
     parser.add_argument("--configuration-base", action="store_true",
                         help="Instead of the Alternating configuration, use "
                         "the Base configuration")
+    parser.add_argument("--point-batch", action="store_true",
+                        help="Advance ALL SNR points per device dispatch "
+                        "(vmapped over the grid; fastest for full sweeps)")
     add_engine_args(parser)
     return parser
 
@@ -87,6 +90,28 @@ def main(argv=None):
     state = SweepState(args.out, resume=args.resume)
 
     EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
+
+    if args.point_batch:
+        results = eng.run_sweep_batched(
+            mode, EsN0dB, args.maxiter, args.simloops, args.ferr_count_min,
+            alpha=args.alpha, nmconfig=nmconfig, seed=args.seed,
+        )
+        rows = []
+        for r in results:
+            print(
+                f"[EsN0dB={r.snr_dB:.3f}] frames={r.frames} ber={r.ber:.3e} "
+                f"fer={r.fer:.3e} iters={r.iters:.2f}"
+            )
+            rows.append((r.snr_dB, r.ber, r.fer, r.iters))
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=["EsN0dB", "ber", "fer", "iters"])
+        df.to_csv(args.out)
+        state.cleanup()
+        if results:
+            print(f"sweep throughput: {results[0].frames_per_s:.1f} frames/s")
+        return df
+
     rows = []
     for i, snr in enumerate(EsN0dB):
         prev = state.done(snr)

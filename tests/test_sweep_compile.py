@@ -8,6 +8,8 @@ new program costs minutes.
 
 import math
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -104,3 +106,47 @@ def test_numpy_oracle_matches_device_llr_distribution():
     lappr, word = softening_frames_np(nm, pa, 8, 256, seed=11)
     agree = np.mean((lappr < 0).astype(np.uint8) == word)
     assert agree > 0.9
+
+
+def test_point_batched_sweep_matches_manual_vmap_lanes():
+    """run_sweep_batched counters == manually replayed per-point rounds with
+    the identical key construction (exact, not statistical)."""
+    import jax
+
+    dec, mat, pa = _setup()
+    eng = ReconciliationEngine(dec, mat, pa, batch=8)
+    snrs = [3.0, 4.5]
+    res = eng.run_sweep_batched(
+        "softening", snrs, 10, 16, 10**9,
+        nmconfig=np.zeros(4, np.uint8), seed=7,
+    )
+    assert [r.snr_dB for r in res] == snrs
+
+    body = eng._build_round_body("softening")
+    key = jax.random.key(7)
+    for p, snr in enumerate(snrs):
+        N0 = pa.variance * 10 ** (-snr / 10) / 2
+        nm = NoiseMapper(pa, N0, np.zeros(4, np.uint8), dtype=eng.dtype)
+        sigma = jnp.asarray(math.sqrt(N0), eng.dtype)
+        alpha = jnp.asarray(1.0, eng.dtype)
+        pk = jax.random.fold_in(key, p)
+        errs = ferrs = 0
+        for r in range(2):  # 16 loops / 8 per round
+            out = jax.jit(body)(
+                jax.random.fold_in(pk, r), jnp.int32(10), nm, sigma, alpha
+            )
+            errs += int(out[0])
+            ferrs += int(out[1])
+        got = res[p]
+        assert got.frames == 16
+        assert got.ber == pytest.approx(errs / (16 * eng.K))
+        assert got.fer == pytest.approx(ferrs / 16)
+
+
+def test_point_batched_sweep_direct_mode():
+    """nm=None pytree path under vmap (direct mode)."""
+    dec, mat, pa = _setup()
+    eng = ReconciliationEngine(dec, mat, pa, batch=8)
+    res = eng.run_sweep_batched("direct", [6.0, 8.0], 10, 8, 10**9)
+    assert len(res) == 2
+    assert all(0.0 <= r.ber <= 1.0 for r in res)
