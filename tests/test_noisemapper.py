@@ -341,3 +341,37 @@ def test_shaped_alphabet_tables_consistent():
     a_q = np.asarray(nm_q.g_inv(jnp.asarray(n), jnp.asarray(i)))
     b_q = np.asarray(nm_q.g_inv_search(jnp.asarray(n), jnp.asarray(i)))
     assert np.abs(a_q - b_q).max() > 1e-2 * pa.step
+
+
+def test_ginv_search_tail_parity_vs_bisection():
+    """Newton inverse == 200-step erfc-bisection ground truth, measured in
+    CDF-value space (y-space comparison is ill-posed where the CDF is flat
+    to machine precision, e.g. target exactly 0/1)."""
+    from scipy.special import erfc as serfc
+
+    for bps, p in [(2, None), (2, [0.4, 0.1, 0.1, 0.4]), (4, None)]:
+        pa = PAMAlphabet(bps, 2.0, probabilities=p)
+        nm = NoiseMapper(pa, pa.variance * 10 ** (-0.3), dtype=jnp.float64)
+        c = np.asarray(nm.constellation)
+        pr = np.asarray(nm.probabilities)
+        s = nm.noise_sigma
+
+        def F(y):
+            z = (np.atleast_1d(y)[:, None] - c) / (np.sqrt(2) * s)
+            return np.sum(pr * 0.5 * serfc(-z), axis=-1)
+
+        vals = np.array([1e-12, 1e-6, 1e-3, 0.5, 1 - 1e-3, 1 - 1e-6])
+        n = np.tile(vals, pa.order)
+        i = np.repeat(np.arange(pa.order), vals.size)
+        target = np.asarray(
+            nm._g_target(jnp.asarray(n), jnp.asarray(i), nm._sign_cfg)
+        )
+        y = np.asarray(nm.g_inv_search(jnp.asarray(n), jnp.asarray(i)))
+        # CDF value at the returned y matches the target to near-f64
+        # relative accuracy on both tails
+        resid = np.abs(F(y) - target)
+        scale = np.minimum(np.maximum(target, 1e-300),
+                           np.maximum(1 - target, 1e-300))
+        assert (resid <= 1e-6 * scale + 1e-15).all(), (
+            bps, p, float(resid.max())
+        )
