@@ -134,3 +134,23 @@ def test_sim_mutual_information_compare_signs(tmp_path):
     base_col = "I(X,N;Xhat)_0"
     alt_col = "I(X,N;Xhat)_10"  # 0b1010 = alternate [0,1,0,1]
     assert df[alt_col].iloc[0] >= df[base_col].iloc[0] - 1e-9
+
+
+def test_sim_to_display_schema_roundtrip(tmp_path):
+    """The sweep CSVs feed the display CLIs unchanged (schema contract)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from qamreconciliation_tpu.sims import sim_bsc, display_bsc
+    from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc, save_edge_csv
+
+    code = str(tmp_path / "code.csv")
+    vid, cid = make_regular_ldpc(120, 3, 6, seed=3)
+    save_edge_csv(code, vid, cid)
+    out = str(tmp_path / "bsc.csv")
+    sim_bsc.main(
+        [code, "--out", out, "--rber", "0.02", "0.05", "--rpoints", "2",
+         "--simloops", "16", "--batch", "8"])
+    png = str(tmp_path / "bsc.png")
+    display_bsc.main(["--file", out, "sweep", "--rate", "0.5", "--save", png])
+    assert (tmp_path / "bsc.png").stat().st_size > 0
