@@ -198,6 +198,10 @@ int gc_decoder_decode(void* h, const double* lappr, const uint8_t* synd,
         return 0;
     }
 
+    // seed totals with the priors so a max_iter <= 0 call returns the
+    // input LLRs rather than stale scratch from a previous decode
+    std::memcpy(d.total.data(), lappr, sizeof(double) * static_cast<size_t>(g.V));
+
     // half-iteration: seed v2c with priors, c2v with zeros
     for (int64_t v = 0; v < g.V; ++v)
         for (int64_t k = g.v_ptr[static_cast<size_t>(v)]; k < g.v_ptr[static_cast<size_t>(v) + 1]; ++k)

@@ -112,14 +112,18 @@ class ScalarDecoder:
         self._h = _lib.gc_decoder_new(
             vid.ctypes.data_as(_i64p), cid.ctypes.data_as(_i64p), vid.size
         )
+        # captured at init: module globals may already be None when __del__
+        # runs during interpreter shutdown
+        self._free = _lib.gc_decoder_free
         self.vnum = int(_lib.gc_decoder_vnum(self._h))
         self.cnum = int(_lib.gc_decoder_cnum(self._h))
         self.ednum = int(_lib.gc_decoder_ednum(self._h))
 
     def __del__(self):
         h = getattr(self, "_h", None)
-        if h:
-            _lib.gc_decoder_free(h)
+        free = getattr(self, "_free", None)
+        if h and free is not None:
+            free(h)
             self._h = None
 
     def eval_syndrome(self, word) -> np.ndarray:

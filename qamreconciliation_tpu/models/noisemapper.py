@@ -200,9 +200,6 @@ class NoiseMapper:
         # SNR-dependent scalars as device leaves (not trace-time constants).
         self._sigma_dev = jnp.asarray(self._sigma, dt)
         self._noise_var_dev = jnp.asarray(self.noise_var, dt)
-        # Fixed bisection bracket: generously beyond the CDF grid.
-        self._ybr_lo = jnp.asarray(c[0] - 50.0 * self._sigma - 1.0, dt)
-        self._ybr_hi = jnp.asarray(c[-1] + 50.0 * self._sigma + 1.0, dt)
         # Alphabet decision thresholds as a hashable host tuple
         # (SNR-independent -> safe as jit static data).
         self._thr_tuple = tuple(float(t) for t in thr[1:-1])
@@ -622,7 +619,7 @@ class NoiseMapperAntiFlipSign(NoiseMapper):
 _NM_LEAVES = (
     "_F_thr", "_delta_F_Y", "_fwd", "_back", "_bare_llr", "_inf_erf",
     "_c", "_thr_interior", "_p", "_log_p", "_sign_cfg", "_bits_mask",
-    "_y_of_u", "_sigma_dev", "_noise_var_dev", "_ybr_lo", "_ybr_hi",
+    "_y_of_u", "_sigma_dev", "_noise_var_dev",
 )
 _NM_AUX = (
     "order", "half_order", "bit_per_symbol", "_inv_K", "_thr_tuple", "dtype",

@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from .boxplus import phi_llr
+
 try:  # TPU-only module; tests on CPU use interpret mode
     from jax.experimental.pallas import tpu as pltpu
 
@@ -32,22 +34,16 @@ except ImportError:  # pragma: no cover
 __all__ = ["check_node_update_pallas"]
 
 
-def _phi(x, tiny):
-    """phi(x) = -log(tanh(x/2)), stable two-regime form (ops/boxplus.py)."""
-    x = jnp.maximum(x, tiny)
-    ex = jnp.exp(-jnp.maximum(x, 10.0))
-    big = jnp.log1p(ex) - jnp.log1p(-ex)
-    small = -jnp.log(jnp.tanh(jnp.minimum(x, 10.0) / 2.0))
-    return jnp.where(x < 10.0, small, big)
-
-
 def _kernel(v2c_ref, synd_ref, mask_ref, out_ref, *, tiny):
+    # phi_llr is the jnp-level two-regime form from ops/boxplus.py — it
+    # lowers fine inside a Pallas kernel, so the two paths share one source
+    # of truth for the numerics.
     v = v2c_ref[:]                                   # [CB, dc, B]
     mask = mask_ref[:][:, :, None]                   # [CB, dc, 1]
     absv = jnp.abs(v)
-    phim = _phi(absv, tiny) * mask
+    phim = phi_llr(absv, tiny) * mask
     s_phi = jnp.sum(phim, axis=1, keepdims=True)
-    mag = _phi(s_phi - phim, tiny)
+    mag = phi_llr(s_phi - phim, tiny)
 
     neg = jnp.logical_and(v < 0, mask > 0).astype(jnp.int32)
     parity = jnp.sum(neg, axis=1, keepdims=True) & 1

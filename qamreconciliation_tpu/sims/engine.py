@@ -306,9 +306,31 @@ class ReconciliationEngine:
         vround = self._round_cache.get(cache_key)
         if vround is None:
             base = self._build_round_body(mode)
-            vround = jax.jit(
-                jax.vmap(base, in_axes=(0, None, 0, 0, 0))
-            )
+            vbody = jax.vmap(base, in_axes=(0, None, 0, 0, 0))
+            if self.mesh_axis is not None:
+                # compose with frame-shard DP: every device runs all P
+                # points on decorrelated keys; counters psum over the mesh
+                # (so frames_per_round per point stays batch * n_devices).
+                mesh, axis = self.mesh_axis
+                from jax.sharding import PartitionSpec as _P
+
+                def inner(keys, max_iter, nm_s, sig, alp):
+                    keys = jax.vmap(
+                        lambda k: jax.random.fold_in(
+                            k, jax.lax.axis_index(axis)
+                        )
+                    )(keys)
+                    counters = vbody(keys, max_iter, nm_s, sig, alp)
+                    return tuple(
+                        jax.lax.psum(c, axis) for c in counters
+                    )
+
+                vround = jax.jit(jax.shard_map(
+                    inner, mesh=mesh, in_specs=_P(), out_specs=_P(),
+                    check_vma=False,
+                ))
+            else:
+                vround = jax.jit(vbody)
             self._round_cache[cache_key] = vround
 
         key = jax.random.key(seed)

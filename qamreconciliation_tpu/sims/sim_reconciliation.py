@@ -92,17 +92,37 @@ def main(argv=None):
     EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
 
     if args.point_batch:
-        results = eng.run_sweep_batched(
-            mode, EsN0dB, args.maxiter, args.simloops, args.ferr_count_min,
-            alpha=args.alpha, nmconfig=nmconfig, seed=args.seed,
-        )
-        rows = []
-        for r in results:
-            print(
-                f"[EsN0dB={r.snr_dB:.3f}] frames={r.frames} ber={r.ber:.3e} "
-                f"fer={r.fer:.3e} iters={r.iters:.2f}"
+        # honor the resume journal: only the pending points enter the batch
+        done_rows = {}
+        pending = []
+        for snr in EsN0dB:
+            prev = state.done(snr)
+            if prev is not None:
+                done_rows[float(snr)] = (
+                    prev["point"], prev["ber"], prev["fer"], prev["iters"]
+                )
+            else:
+                pending.append(float(snr))
+        results = []
+        if pending:
+            results = eng.run_sweep_batched(
+                mode, pending, args.maxiter, args.simloops,
+                args.ferr_count_min, alpha=args.alpha, nmconfig=nmconfig,
+                seed=args.seed,
             )
-            rows.append((r.snr_dB, r.ber, r.fer, r.iters))
+            for r in results:
+                state.record(r.snr_dB, dict(ber=r.ber, fer=r.fer,
+                                            iters=r.iters, frames=r.frames,
+                                            frames_per_s=r.frames_per_s))
+                done_rows[r.snr_dB] = (r.snr_dB, r.ber, r.fer, r.iters)
+        rows = []
+        for snr in EsN0dB:
+            row = done_rows[float(snr)]
+            print(
+                f"[EsN0dB={row[0]:.3f}] ber={row[1]:.3e} "
+                f"fer={row[2]:.3e} iters={row[3]:.2f}"
+            )
+            rows.append(row)
         import pandas as pd
 
         df = pd.DataFrame(rows, columns=["EsN0dB", "ber", "fer", "iters"])

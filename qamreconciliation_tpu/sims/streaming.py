@@ -113,12 +113,15 @@ class StreamReconciler:
 
     # -------------------------------------------------------------- Alice
 
-    def alice_process(self, n_hat, x_block, synd, max_iterations: int = 50):
+    def alice_process(self, n_hat, x_block, synd, max_iterations: int = 50,
+                      bob_words=None):
         """Alice's side: LLRs from (softening metric, own symbols) + decode.
 
         ``x_block`` streams like Bob's y (carry-over boundary handling);
         ``n_hat``/``synd`` must cover the same frames that complete here.
-        Returns a StreamResult for the completed frames.
+        ``bob_words`` (optional, [F, N]) enables ``bit_errors`` accounting of
+        the decoded words against Bob's.  Returns a StreamResult for the
+        completed frames.
         """
         x = np.concatenate([self._carry_x, np.asarray(x_block, np.int64).ravel()])
         F = x.size // self.N_symb
@@ -160,6 +163,10 @@ class StreamReconciler:
                 jnp.int32(max_iterations),
             )
             words = (np.asarray(total).T < 0).astype(np.uint8)[:take]
+            if bob_words is not None:
+                res.bit_errors += int(
+                    np.sum(words != np.asarray(bob_words)[lo:hi])
+                )
             res.frames += take
             res.decoded_words.extend(list(words))
             res.success.extend(bool(s) for s in np.asarray(success)[:take])
