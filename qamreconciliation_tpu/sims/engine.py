@@ -223,22 +223,40 @@ class ReconciliationEngine:
 
         import time
 
-        t0 = time.perf_counter()
-        for r in range(n_rounds):
-            errs, ferrs, iters, succ = round_fn(
-                jax.random.fold_in(key, r), jnp.int32(decoder_iterations),
-                nm, sigma_dev, alpha_dev,
-            )
+        # Double-buffered rounds: dispatch round r+1 before blocking on
+        # round r's counters, overlapping host sync / dispatch latency with
+        # device compute.  The early-exit decision therefore lags one round
+        # — the batch-granular stopping rule is already a documented
+        # statistical deviation from the reference's per-frame exit
+        # (reference: sims/reconciliation.pyx:159-161).
+        def accumulate(out):
+            nonlocal err_count, frame_error_count
+            nonlocal decoding_iterations, successful_decoding, frames
+            errs, ferrs, iters, succ = out
             err_count += int(errs)
             frame_error_count += int(ferrs)
             decoding_iterations += int(iters)
             successful_decoding += int(succ)
             frames += self.frames_per_round
-            if (
-                frame_error_count >= ferr_count_min
-                and frames > simulation_loops / 20
-            ):
-                break
+
+        t0 = time.perf_counter()
+        pending = None
+        for r in range(n_rounds):
+            out = round_fn(
+                jax.random.fold_in(key, r), jnp.int32(decoder_iterations),
+                nm, sigma_dev, alpha_dev,
+            )
+            if pending is not None:
+                accumulate(pending)
+                if (
+                    frame_error_count >= ferr_count_min
+                    and frames > simulation_loops / 20
+                ):
+                    pending = out
+                    break
+            pending = out
+        if pending is not None:
+            accumulate(pending)
         elapsed = time.perf_counter() - t0
         if timer is not None:
             timer.append(elapsed)
