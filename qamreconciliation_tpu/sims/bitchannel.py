@@ -127,18 +127,32 @@ class BitChannelEngine:
         err = ferr = its = succ = frames = 0
         n_rounds = max(1, math.ceil(simloops / self.frames_per_round))
         t0 = time.perf_counter()
+        # double-buffered rounds (see engine.run_point): dispatch r+1 before
+        # blocking on r's counters; early exit lags one round.
+        pending = None
         for r in range(n_rounds):
-            e, fe, it, sc = round_fn(
+            out = round_fn(
                 jax.random.fold_in(key, r), jnp.int32(max_iterations),
                 *round_args,
             )
+            if pending is not None:
+                e, fe, it, sc = pending
+                err += int(e)
+                ferr += int(fe)
+                its += int(it)
+                succ += int(sc)
+                frames += self.frames_per_round
+                if stop_fn(err, ferr, frames):
+                    pending = out
+                    break
+            pending = out
+        if pending is not None:
+            e, fe, it, sc = pending
             err += int(e)
             ferr += int(fe)
             its += int(it)
             succ += int(sc)
             frames += self.frames_per_round
-            if stop_fn(err, ferr, frames):
-                break
         dt = time.perf_counter() - t0
         return PointResult(
             snr_dB=point,

@@ -363,7 +363,20 @@ class ReconciliationEngine:
 
         import time
 
+        def accumulate(out):
+            nonlocal active
+            out_np = np.stack([np.asarray(c) for c in out], axis=1)  # [P, 4]
+            counters[active] += out_np[active]
+            frames[active] += self.frames_per_round
+            active = active & ~(
+                (counters[:, 1] >= ferr_count_min)
+                & (frames > simulation_loops / 20)
+            )
+
         t0 = time.perf_counter()
+        # double-buffered rounds (see run_point): dispatch r+1 before
+        # blocking on r's counters; per-point early exit lags one round.
+        pending = None
         for r in range(n_rounds):
             keys_r = jax.vmap(
                 lambda k: jax.random.fold_in(k, r)
@@ -372,15 +385,14 @@ class ReconciliationEngine:
                 keys_r, jnp.int32(decoder_iterations), nm_stack, sigma_vec,
                 alpha_vec,
             )
-            out_np = np.stack([np.asarray(c) for c in out], axis=1)  # [P, 4]
-            counters[active] += out_np[active]
-            frames[active] += self.frames_per_round
-            active &= ~(
-                (counters[:, 1] >= ferr_count_min)
-                & (frames > simulation_loops / 20)
-            )
-            if not active.any():
-                break
+            if pending is not None:
+                accumulate(pending)
+                if not active.any():
+                    pending = out
+                    break
+            pending = out
+        if pending is not None:
+            accumulate(pending)
         elapsed = time.perf_counter() - t0
 
         total_fps = (
