@@ -204,6 +204,67 @@ class NoiseMapper:
         # (SNR-independent -> safe as jit static data).
         self._thr_tuple = tuple(float(t) for t in thr[1:-1])
 
+        # --- tabulated softening LLRs (lazy) ------------------------------- #
+        # For fixed tables the Formulation-2 LLR is a smooth function of ONLY
+        # (n, j): tabulate it once on the host in float64 over a uniform
+        # n-grid and batched demapping collapses to two gathers + a lerp per
+        # bit — no per-sample exp/log and no xM candidate expansion.  This is
+        # the TPU-first counterpart of the reference's per-sample scalar
+        # loops (reference: noisemapper.pyx:450-559); the residual
+        # interpolation error (~(1/K)^2 x curvature) sits far below
+        # Monte-Carlo noise and the "interp"/"search" per-sample modes remain
+        # available as exactness references.  Built on first use (pytree
+        # flatten or table-mode demap): many mappers (analytic MI, bare-LLR
+        # paths) never demap.
+        self._llr_K = 1 << 13
+        self._llr_tab = None
+        self._llr_tab_inputs = (F_thr, delta_F_Y, y_of_u, c, p, bits, llr_cap)
+
+    def _ensure_llr_tab(self):
+        if self._llr_tab is not None:
+            return
+        F_thr, delta_F_Y, y_of_u, c, p, bits, llr_cap = self._llr_tab_inputs
+        n_grid = np.linspace(0.0, 1.0, self._llr_K)           # [K]
+        # effective monotonicity directions: subclasses (FlipSign/...)
+        # override _g_signs(), and the table must match the g_inv the
+        # "interp" formulation uses
+        signs_b = np.asarray(self._g_signs()).astype(bool)
+        tgt = np.where(
+            signs_b[None, :],
+            F_thr[1:][None, :] - n_grid[:, None] * delta_F_Y[None, :],
+            n_grid[:, None] * delta_F_Y[None, :] + F_thr[:-1][None, :],
+        )                                                      # [K, M_i]
+        y_hat_g = np.interp(np.clip(tgt, 0.0, 1.0),
+                            np.linspace(0.0, 1.0, self._inv_K), y_of_u)
+        # expo[K, M_i, M_j, M_k]
+        expo = (
+            (2.0 * y_hat_g[:, :, None, None] - c[None, None, None, :]
+             - c[None, None, :, None])
+            * (c[None, None, None, :] - c[None, None, :, None])
+        ) / (2.0 * self.noise_var)
+        # stable log-sum-exp over the true-symbol axis
+        m = expo.max(axis=-1, keepdims=True)
+        denom = np.squeeze(m, -1) + np.log(
+            np.sum(np.exp(expo - m) * p[None, None, None, :], axis=-1)
+        )                                                      # [K, M_i, M_j]
+        log_w = np.log(delta_F_Y)[None, :, None] - denom       # [K, M_i, M_j]
+        b1 = bits.astype(bool)                                 # [M_i, bps]
+
+        def lse(x, axis):
+            mm = x.max(axis=axis, keepdims=True)
+            return np.squeeze(mm, axis) + np.log(
+                np.sum(np.exp(x - mm), axis=axis)
+            )
+
+        num = lse(np.where(b1[None, :, None, :], -np.inf,
+                           log_w[..., None]), axis=1)          # [K, M_j, bps]
+        den = lse(np.where(b1[None, :, None, :], log_w[..., None],
+                           -np.inf), axis=1)
+        llr_tab = num - den                                    # [K, M_j, bps]
+        self._llr_tab = jnp.asarray(
+            np.clip(llr_tab, -llr_cap, llr_cap), self.dtype
+        )
+
     # ------------------------------------------------------------------ #
     # Properties (API parity, reference: noisemapper.pyx:254-261 + .pxd)
 
@@ -461,15 +522,34 @@ class NoiseMapper:
         decision interval mass ``delta_F_Y[i]`` by the probability-weighted
         exponential sum over true-symbol hypotheses k, then group by Gray bit.
 
-        mode: "search" (exact CDF bisection, as the reference's
-        ``g_inv_search``) or "interp" (grid interpolation, faster).
-        ref_compat: reproduce quirk (b) (missing /2sigma^2 on k<j terms).
+        mode: "table" (host-precomputed [K, M, bps] LLR table, two gathers +
+        lerp per bit — fastest), "interp" (per-sample grid-interpolated
+        inverse) or "search" (exact Newton inverse, the reference's
+        ``g_inv_search`` contract).
+        ref_compat: reproduce quirk (b) (missing /2sigma^2 on k<j terms;
+        forces the per-sample path).
         """
         n = jnp.atleast_1d(jnp.asarray(n, self.dtype))
         j = jnp.atleast_1d(jnp.asarray(j))
         M = self.order
         S = n.shape[-1]
         lead = n.shape[:-1]
+
+        if mode == "table" and not ref_compat:
+            if self._llr_tab is None:
+                self._ensure_llr_tab()
+            K = self._llr_K
+            bps = self.bit_per_symbol
+            t = jnp.clip(n, 0.0, 1.0) * (K - 1)
+            i0 = jnp.clip(jnp.floor(t).astype(INDEX_DTYPE), 0, K - 2)
+            frac = (t - i0.astype(self.dtype))[..., None]      # [..., S, 1]
+            tab = self._llr_tab.reshape(-1, bps)               # [K*M, bps]
+            lo = tab[i0 * M + j]                               # [..., S, bps]
+            hi = tab[(i0 + 1) * M + j]
+            llr = lo + (hi - lo) * frac
+            return llr.reshape(*lead, S * bps)
+        if mode == "table":
+            mode = "interp"  # ref_compat needs the per-sample exponent quirk
 
         # Lane-flat layout: the M candidate decisions are flattened INTO the
         # sample (lane) dimension via repeat/tile — pure reshapes, no
@@ -619,14 +699,17 @@ class NoiseMapperAntiFlipSign(NoiseMapper):
 _NM_LEAVES = (
     "_F_thr", "_delta_F_Y", "_fwd", "_back", "_bare_llr", "_inf_erf",
     "_c", "_thr_interior", "_p", "_log_p", "_sign_cfg", "_bits_mask",
-    "_y_of_u", "_sigma_dev", "_noise_var_dev",
+    "_y_of_u", "_sigma_dev", "_noise_var_dev", "_llr_tab",
 )
 _NM_AUX = (
-    "order", "half_order", "bit_per_symbol", "_inv_K", "_thr_tuple", "dtype",
+    "order", "half_order", "bit_per_symbol", "_inv_K", "_llr_K",
+    "_thr_tuple", "dtype",
 )
 
 
 def _nm_flatten(nm):
+    if getattr(nm, "_llr_tab", None) is None and hasattr(nm, "_ensure_llr_tab"):
+        nm._ensure_llr_tab()
     return (
         tuple(getattr(nm, k) for k in _NM_LEAVES),
         tuple(getattr(nm, k) for k in _NM_AUX),

@@ -24,8 +24,14 @@ def add_engine_args(parser: argparse.ArgumentParser):
     )
     parser.add_argument(
         "--llr-exact", action="store_true",
-        help="Use exact bisection g^-1 in LLR generation (the reference's "
-        "g_inv_search) instead of grid interpolation",
+        help="Use the exact Newton g^-1 in LLR generation (the reference's "
+        "g_inv_search contract) instead of the tabulated LLR map",
+    )
+    parser.add_argument(
+        "--llr-mode", choices=["table", "interp", "search"], default=None,
+        help="Softening LLR path: 'table' (precomputed (n,j)->LLR map, "
+        "fastest, default), 'interp' (per-sample grid inverse), 'search' "
+        "(exact Newton inverse).  Overrides --llr-exact.",
     )
     parser.add_argument("--seed", type=int, default=0, help="Sweep PRNG seed")
     parser.add_argument(
@@ -39,10 +45,11 @@ def add_engine_args(parser: argparse.ArgumentParser):
 
 
 def engine_kwargs(args):
+    llr_mode = args.llr_mode or ("search" if args.llr_exact else "table")
     kw = dict(
         batch=args.batch,
         dtype=jnp.dtype(args.dtype),
-        llr_mode="search" if args.llr_exact else "interp",
+        llr_mode=llr_mode,
     )
     if args.devices > 1:
         from ..parallel import make_mesh

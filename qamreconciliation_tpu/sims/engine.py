@@ -72,8 +72,10 @@ class ReconciliationEngine:
       dec, mat, pa: decoder / parity matrix / alphabet (shared graph metadata).
       batch: frames per round per device.
       dtype: LLR/message dtype.
-      llr_mode: "interp" (default; grid-interpolated g^-1) or "search"
-        (exact bisection, the reference's choice — slower).
+      llr_mode: "table" (default; host-precomputed (n, j)->LLR map, two
+        gathers + lerp per bit), "interp" (per-sample grid-interpolated
+        g^-1) or "search" (exact Newton inverse, the reference's
+        g_inv_search contract — slowest).
       mesh_axis: optional ``(mesh, axis_name)`` to shard rounds over devices
         (see parallel/sweep.py helpers).
     """
@@ -85,7 +87,7 @@ class ReconciliationEngine:
         pa: PAMAlphabet,
         batch: int = 128,
         dtype=DEFAULT_DTYPE,
-        llr_mode: str = "interp",
+        llr_mode: str = "table",
         mesh_axis=None,
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
@@ -129,6 +131,37 @@ class ReconciliationEngine:
             jnp.sum(success),
         )
 
+    # -- layout-native helpers: samples live as [S, B], bits/LLRs as [N, B]
+    # (the decoder's internal layout), so the round has NO minor-axis
+    # transposes — each one costs ~30 ms at DVB-S2 scale on TPU.
+
+    def _bits_nb(self, table_col_fn, idx_sb):
+        """Per-bit gathers + leading-axis interleave: [S, B] -> [N, B]."""
+        cols = [table_col_fn(b, idx_sb) for b in range(self.pa.bit_per_symbol)]
+        return jnp.stack(cols, axis=1).reshape(self.N, -1)
+
+    def _decode_and_count_nb(self, lappr_nb, word_nb, max_iterations):
+        """[N, B] decode + counters with leading-axis (cheap) reductions."""
+        g = self.dec.graph
+        synd = g.syndrome_from_bits(word_nb.astype(jnp.int32))
+        if self.dec._decode_jit is None:
+            self.dec._decode_jit = self.dec._build_decode()
+        success, iters, final = self.dec._decode_jit(
+            lappr_nb, synd, max_iterations
+        )
+        K = self.K
+        errf = jnp.abs(
+            jnp.where(final[:K] < 0, 1.0, 0.0)
+            - word_nb[:K].astype(lappr_nb.dtype)
+        )
+        errors = jnp.sum(errf, axis=0).astype(jnp.int32)
+        return (
+            jnp.sum(errors),
+            jnp.sum(errors > 0),
+            jnp.sum(jnp.where(success, iters, 0)),
+            jnp.sum(success),
+        )
+
     def _build_round_body(self, mode: str):
         """The raw (unjitted) round function for MODE — SNR enters through
         traced arguments.
@@ -138,9 +171,67 @@ class ReconciliationEngine:
         sigma/alpha as device scalars, so a single compilation serves every
         point of an SNR sweep.  This matters doubly on remote-compile TPU
         backends where each new program costs seconds to minutes.
+
+        The softening/table and hard modes run layout-native ([S, B] samples,
+        [N, B] bits — measured +50% round throughput at N=64800 vs the
+        transposing [B, N] formulation); interp/search softening and direct
+        mode keep the [B, N] formulation (their per-sample LLR builders speak
+        the reference's sample-major layout).
         """
         pa, B = self.pa, self.batch
         dtype = self.dtype
+        bps = pa.bit_per_symbol
+        M = pa.order
+        s2b = pa.s_to_b.astype(np.int32)
+
+        def sample_sb(key, sigma):
+            kx, kn = jax.random.split(key)
+            x = pa.random_symbols(kx, (self.N_symb, B))
+            y = pa.index_to_value(x, dtype) + sigma.astype(
+                dtype
+            ) * jax.random.normal(kn, (self.N_symb, B), dtype)
+            return x, y
+
+        if mode == "softening" and self.llr_mode == "table":
+
+            def round_fn(key, max_iterations, nm, sigma, alpha):
+                x, y = sample_sb(key, sigma)
+                x_hat = nm.hard_decide_index(y)
+                n_hat = nm.map_noise(y, x_hat)
+                s2b_dev = jnp.asarray(s2b)
+                word = self._bits_nb(
+                    lambda b, idx: s2b_dev[:, b][idx], x_hat
+                )
+                Kt = nm._llr_K
+                t = jnp.clip(n_hat, 0.0, 1.0) * (Kt - 1)
+                i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, Kt - 2)
+                frac = t - i0.astype(dtype)
+                tab = nm._llr_tab.reshape(-1, bps)
+                base = i0 * M + x
+                lappr = alpha.astype(dtype) * self._bits_nb(
+                    lambda b, _: tab[:, b][base]
+                    + (tab[:, b][base + M] - tab[:, b][base]) * frac,
+                    x_hat,
+                )
+                return self._decode_and_count_nb(lappr, word, max_iterations)
+
+            return round_fn
+
+        if mode == "hard":
+
+            def round_fn(key, max_iterations, nm, sigma, alpha):
+                x, y = sample_sb(key, sigma)
+                x_hat = nm.hard_decide_index(y)
+                s2b_dev = jnp.asarray(s2b)
+                word = self._bits_nb(
+                    lambda b, idx: s2b_dev[:, b][idx], x_hat
+                )
+                lappr = self._bits_nb(
+                    lambda b, _: nm._bare_llr[:, b][x], x_hat
+                )
+                return self._decode_and_count_nb(lappr, word, max_iterations)
+
+            return round_fn
 
         def round_fn(key, max_iterations, nm, sigma, alpha):
             kx, kn = jax.random.split(key)
@@ -155,10 +246,6 @@ class ReconciliationEngine:
                 lappr = alpha.astype(dtype) * nm.demap_lappr_array(
                     n_hat, x, mode=self.llr_mode
                 )
-            elif mode == "hard":
-                x_hat = nm.hard_decide_index(y)
-                word = pa.demap_symbols_to_bits(x_hat)
-                lappr = nm.bare_llr(x)
             elif mode == "direct":
                 two_var = 2.0 * sigma.astype(dtype) ** 2
                 word = pa.demap_symbols_to_bits(x)

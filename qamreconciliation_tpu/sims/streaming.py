@@ -66,7 +66,7 @@ class StreamReconciler:
         pa: PAMAlphabet,
         nm: NoiseMapper,
         batch: int = 32,
-        llr_mode: str = "interp",
+        llr_mode: str = "table",
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
             raise ValueError("code length not divisible by bits/symbol")

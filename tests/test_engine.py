@@ -98,3 +98,25 @@ def test_bfloat16_round_runs():
                       nmconfig=np.zeros(4, np.uint8))
     assert 0.0 <= r.ber <= 1.0
     assert r.frames == 16
+
+
+def test_table_vs_interp_llr_mode_statistical_equivalence():
+    """Default 'table' LLR path matches the per-sample 'interp' path within
+    Monte-Carlo error at a partially-failing operating point."""
+    import numpy as np
+    from qamreconciliation_tpu import Decoder, Matrix, PAMAlphabet
+    from qamreconciliation_tpu.sims.engine import ReconciliationEngine
+    from qamreconciliation_tpu.utils import make_regular_ldpc
+
+    vid, cid = make_regular_ldpc(512, 3, 6, seed=17)
+    dec = Decoder(vid, cid)
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    bers = {}
+    for mode in ["table", "interp"]:
+        eng = ReconciliationEngine(dec, mat, pa, batch=64, llr_mode=mode)
+        r = eng.run_point("softening", 4.0, 30, 256, 10**9,
+                          nmconfig=np.zeros(4, np.uint8), seed=5)
+        bers[mode] = r.ber
+        assert 0.0 < r.ber < 0.2
+    assert abs(bers["table"] - bers["interp"]) < 0.03

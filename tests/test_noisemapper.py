@@ -375,3 +375,17 @@ def test_ginv_search_tail_parity_vs_bisection():
         assert (resid <= 1e-6 * scale + 1e-15).all(), (
             bps, p, float(resid.max())
         )
+
+
+def test_demap_lappr_table_mode_close_to_interp(setup):
+    """The tabulated (n, j)->LLR map matches the per-sample interp path to
+    interpolation accuracy for every alphabet/config the fixture covers."""
+    pa, nm, sigma = setup
+    rng = np.random.default_rng(9)
+    S = 512
+    n = jnp.asarray(rng.uniform(0.001, 0.999, S))
+    j = jnp.asarray(rng.integers(0, pa.order, S))
+    a = np.asarray(nm.demap_lappr_array(n, j, mode="interp"))
+    b = np.asarray(nm.demap_lappr_array(n, j, mode="table"))
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+    assert rel.max() < 2e-3, rel.max()
