@@ -195,6 +195,10 @@ class ReconciliationEngine:
         if mode == "softening" and self.llr_mode == "table":
 
             def round_fn(key, max_iterations, nm, sigma, alpha):
+                if getattr(nm, "_llr_tab", 0) is None:
+                    # nm arrived as a CLOSURE (never pytree-flattened): build
+                    # the lazy LLR table at trace time
+                    nm._ensure_llr_tab()
                 x, y = sample_sb(key, sigma)
                 x_hat = nm.hard_decide_index(y)
                 n_hat = nm.map_noise(y, x_hat)
