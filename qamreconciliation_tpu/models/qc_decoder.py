@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..config import DEFAULT_DTYPE
 
-__all__ = ["QCDecoder", "make_qc_ldpc"]
+__all__ = ["QCDecoder", "make_qc_ldpc", "save_qc_csv", "load_qc_csv"]
 
 
 def make_qc_ldpc(nb_v: int, z: int, dv: int = 3, dc: int = 6, seed: int = 0):
@@ -227,3 +227,30 @@ class QCDecoder:
             lappr.T, synd.T, jnp.int32(max_iterations)
         )
         return success, iters, total.T
+
+
+def save_qc_csv(path: str, base_edges, z: int):
+    """Write a QC base-edge CSV: header ``eid,cb,vb,shift``, first data row
+    carries the totals ``(n_base_edges, z, nb_c, 0)`` — mirroring the expanded
+    edge-list format's first-row convention."""
+    nb_c = max(c for c, _, _ in base_edges) + 1
+    lines = ["eid,cb,vb,shift", f"{len(base_edges)},{z},{nb_c},0"]
+    lines.extend(
+        f"{i},{c},{v},{s}" for i, (c, v, s) in enumerate(base_edges)
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def load_qc_csv(path: str):
+    """Load a QC base-edge CSV -> ``(base_edges, z)``."""
+    data = np.loadtxt(path, delimiter=",", skiprows=1, dtype=np.int64, ndmin=2)
+    declared_e, z = int(data[0, 0]), int(data[0, 1])
+    rows = data[1:]
+    if rows.shape[0] != declared_e:
+        raise ValueError(
+            f"QC file declares {declared_e} base edges but contains "
+            f"{rows.shape[0]}"
+        )
+    base_edges = [(int(c), int(v), int(s)) for _, c, v, s in rows]
+    return base_edges, z

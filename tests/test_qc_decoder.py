@@ -69,3 +69,23 @@ def test_qc_rejects_irregular_rows():
 def test_make_qc_no_duplicate_circulants():
     base, vid, cid = make_qc_ldpc(nb_v=24, z=32, dv=3, dc=6, seed=7)
     assert len(set(base)) == len(base)
+
+
+def test_qc_csv_roundtrip_and_cli(tmp_path):
+    from qamreconciliation_tpu.models.qc_decoder import save_qc_csv, load_qc_csv
+    from qamreconciliation_tpu.sims import sim_reconciliation
+
+    base, vid, cid = make_qc_ldpc(nb_v=12, z=16, dv=3, dc=6, seed=4)
+    path = str(tmp_path / "qc.csv")
+    save_qc_csv(path, base, 16)
+    base2, z2 = load_qc_csv(path)
+    assert base2 == base and z2 == 16
+
+    out = str(tmp_path / "out.csv")
+    df = sim_reconciliation.main([
+        path, "--qc", "--out", out, "--snr", "4.5", "4.5", "--nsnr", "1",
+        "--maxiter", "15", "--simloops", "16", "--ferr-count-min", "1000000",
+        "--batch", "8",
+    ])
+    assert list(df.columns) == ["EsN0dB", "ber", "fer", "iters"]
+    assert 0.0 <= float(df.ber[0]) <= 1.0
