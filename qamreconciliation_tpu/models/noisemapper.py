@@ -221,33 +221,14 @@ class NoiseMapper:
         self._llr_tab_inputs = (F_thr, delta_F_Y, y_of_u, c, p, bits, llr_cap)
 
     def _ensure_llr_tab(self):
-        if self._llr_tab is not None:
+        if self._llr_tab is not None and self._llr_tab.size:
             return
         F_thr, delta_F_Y, y_of_u, c, p, bits, llr_cap = self._llr_tab_inputs
-        n_grid = np.linspace(0.0, 1.0, self._llr_K)           # [K]
+        K = self._llr_K
         # effective monotonicity directions: subclasses (FlipSign/...)
         # override _g_signs(), and the table must match the g_inv the
         # "interp" formulation uses
         signs_b = np.asarray(self._g_signs()).astype(bool)
-        tgt = np.where(
-            signs_b[None, :],
-            F_thr[1:][None, :] - n_grid[:, None] * delta_F_Y[None, :],
-            n_grid[:, None] * delta_F_Y[None, :] + F_thr[:-1][None, :],
-        )                                                      # [K, M_i]
-        y_hat_g = np.interp(np.clip(tgt, 0.0, 1.0),
-                            np.linspace(0.0, 1.0, self._inv_K), y_of_u)
-        # expo[K, M_i, M_j, M_k]
-        expo = (
-            (2.0 * y_hat_g[:, :, None, None] - c[None, None, None, :]
-             - c[None, None, :, None])
-            * (c[None, None, None, :] - c[None, None, :, None])
-        ) / (2.0 * self.noise_var)
-        # stable log-sum-exp over the true-symbol axis
-        m = expo.max(axis=-1, keepdims=True)
-        denom = np.squeeze(m, -1) + np.log(
-            np.sum(np.exp(expo - m) * p[None, None, None, :], axis=-1)
-        )                                                      # [K, M_i, M_j]
-        log_w = np.log(delta_F_Y)[None, :, None] - denom       # [K, M_i, M_j]
         b1 = bits.astype(bool)                                 # [M_i, bps]
 
         def lse(x, axis):
@@ -256,14 +237,68 @@ class NoiseMapper:
                 np.sum(np.exp(x - mm), axis=axis)
             )
 
-        num = lse(np.where(b1[None, :, None, :], -np.inf,
-                           log_w[..., None]), axis=1)          # [K, M_j, bps]
-        den = lse(np.where(b1[None, :, None, :], log_w[..., None],
-                           -np.inf), axis=1)
-        llr_tab = num - den                                    # [K, M_j, bps]
+        # chunk the n-grid so the [chunk, M, M, M] temporaries stay small
+        # (a monolithic K x M^3 float64 build costs minutes + hundreds of MB
+        # at M >= 16)
+        chunk = max(1, (1 << 22) // max(1, self.order ** 3))
+        out = np.empty((K, self.order, bits.shape[1]))
+        n_full = np.linspace(0.0, 1.0, K)
+        for lo in range(0, K, chunk):
+            n_grid = n_full[lo:lo + chunk]
+            tgt = np.where(
+                signs_b[None, :],
+                F_thr[1:][None, :] - n_grid[:, None] * delta_F_Y[None, :],
+                n_grid[:, None] * delta_F_Y[None, :] + F_thr[:-1][None, :],
+            )                                                  # [k, M_i]
+            y_hat_g = np.interp(np.clip(tgt, 0.0, 1.0),
+                                np.linspace(0.0, 1.0, self._inv_K), y_of_u)
+            # expo[k, M_i, M_j, M_k]
+            expo = (
+                (2.0 * y_hat_g[:, :, None, None] - c[None, None, None, :]
+                 - c[None, None, :, None])
+                * (c[None, None, None, :] - c[None, None, :, None])
+            ) / (2.0 * self.noise_var)
+            m = expo.max(axis=-1, keepdims=True)
+            denom = np.squeeze(m, -1) + np.log(
+                np.sum(np.exp(expo - m) * p[None, None, None, :], axis=-1)
+            )                                                  # [k, M_i, M_j]
+            log_w = np.log(delta_F_Y)[None, :, None] - denom
+            num = lse(np.where(b1[None, :, None, :], -np.inf,
+                               log_w[..., None]), axis=1)      # [k, M_j, bps]
+            den = lse(np.where(b1[None, :, None, :], log_w[..., None],
+                               -np.inf), axis=1)
+            out[lo:lo + chunk] = num - den
         self._llr_tab = jnp.asarray(
-            np.clip(llr_tab, -llr_cap, llr_cap), self.dtype
+            np.clip(out, -llr_cap, llr_cap), self.dtype
         )
+
+    def _table_llr_bits(self, n, j):
+        """Per-bit tabulated LLRs: list of ``bps`` arrays shaped like ``n``.
+
+        The single source of the table indexing math (clip/floor/lerp over
+        the flattened [K*M, bps] table) — used by both demap_lappr_array's
+        "table" branch and the engines' layout-native rounds.
+        """
+        if self._llr_tab is None or not self._llr_tab.size:
+            if not hasattr(self, "_llr_tab_inputs"):
+                raise RuntimeError(
+                    "tabulated LLR path reached a traced NoiseMapper whose "
+                    "table was never built — call nm._ensure_llr_tab() on "
+                    "the original object before passing it through jit"
+                )
+            self._ensure_llr_tab()
+        K, M = self._llr_K, self.order
+        t = jnp.clip(jnp.asarray(n, self.dtype), 0.0, 1.0) * (K - 1)
+        i0 = jnp.clip(jnp.floor(t).astype(INDEX_DTYPE), 0, K - 2)
+        frac = t - i0.astype(self.dtype)
+        tab = self._llr_tab.reshape(-1, self.bit_per_symbol)
+        base = i0 * M + j
+        out = []
+        for b in range(self.bit_per_symbol):
+            lo = tab[:, b][base]
+            hi = tab[:, b][base + M]
+            out.append(lo + (hi - lo) * frac)
+        return out
 
     # ------------------------------------------------------------------ #
     # Properties (API parity, reference: noisemapper.pyx:254-261 + .pxd)
@@ -536,18 +571,9 @@ class NoiseMapper:
         lead = n.shape[:-1]
 
         if mode == "table" and not ref_compat:
-            if self._llr_tab is None:
-                self._ensure_llr_tab()
-            K = self._llr_K
-            bps = self.bit_per_symbol
-            t = jnp.clip(n, 0.0, 1.0) * (K - 1)
-            i0 = jnp.clip(jnp.floor(t).astype(INDEX_DTYPE), 0, K - 2)
-            frac = (t - i0.astype(self.dtype))[..., None]      # [..., S, 1]
-            tab = self._llr_tab.reshape(-1, bps)               # [K*M, bps]
-            lo = tab[i0 * M + j]                               # [..., S, bps]
-            hi = tab[(i0 + 1) * M + j]
-            llr = lo + (hi - lo) * frac
-            return llr.reshape(*lead, S * bps)
+            bits = self._table_llr_bits(n, j)                  # bps x [..., S]
+            llr = jnp.stack(bits, axis=-1)                     # [..., S, bps]
+            return llr.reshape(*lead, S * self.bit_per_symbol)
         if mode == "table":
             mode = "interp"  # ref_compat needs the per-sample exponent quirk
 
@@ -708,12 +734,18 @@ _NM_AUX = (
 
 
 def _nm_flatten(nm):
-    if getattr(nm, "_llr_tab", None) is None and hasattr(nm, "_ensure_llr_tab"):
-        nm._ensure_llr_tab()
-    return (
-        tuple(getattr(nm, k) for k in _NM_LEAVES),
-        tuple(getattr(nm, k) for k in _NM_AUX),
-    )
+    # An unbuilt lazy LLR table flattens as a size-0 placeholder leaf (same
+    # treedef, different shape): paths that never demap — hard mode, MC-MI,
+    # interp/search engines — must not pay the O(K*M^3) host build just for
+    # being passed through jit.  Table-mode consumers ensure the build
+    # eagerly before tracing (engine.run_point / demap_lappr_array).
+    leaves = []
+    for k in _NM_LEAVES:
+        v = getattr(nm, k)
+        if k == "_llr_tab" and v is None:
+            v = jnp.zeros((0,), nm.dtype)
+        leaves.append(v)
+    return tuple(leaves), tuple(getattr(nm, k) for k in _NM_AUX)
 
 
 def _nm_unflatten(cls, aux, leaves):

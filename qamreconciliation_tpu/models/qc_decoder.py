@@ -55,6 +55,11 @@ def make_qc_ldpc(nb_v: int, z: int, dv: int = 3, dc: int = 6, seed: int = 0):
         if not dup.any():
             break
         shifts[dup] = rng.integers(0, z, int(dup.sum()))
+    else:
+        raise RuntimeError(
+            "could not avoid duplicate circulants (parallel base edges with "
+            "equal shifts cancel mod 2); increase z or reduce dv/dc"
+        )
     base_edges = [(int(c), int(v), int(s)) for c, v, s in zip(cb, vb, shifts)]
 
     k = np.arange(z)
@@ -142,12 +147,10 @@ class QCDecoder:
                 for d, (v, s) in enumerate(row):
                     slab = jnp.roll(c2v[cb, d], -s, axis=0)
                     acc[v] = slab if acc[v] is None else acc[v] + slab
-            zero = None
+            B = c2v.shape[-1]
             for vb in range(nb_v):
-                if acc[vb] is None:     # isolated block (shouldn't happen)
-                    if zero is None:
-                        zero = jnp.zeros_like(acc[0])
-                    acc[vb] = zero
+                if acc[vb] is None:     # isolated block (e.g. loaded file
+                    acc[vb] = jnp.zeros((z, B), c2v.dtype)   # with a gap)
             return jnp.stack(acc)                         # [nb_v, z, B]
 
         def qc_check_update(v2c, synd, tiny=1e-30):

@@ -195,10 +195,6 @@ class ReconciliationEngine:
         if mode == "softening" and self.llr_mode == "table":
 
             def round_fn(key, max_iterations, nm, sigma, alpha):
-                if getattr(nm, "_llr_tab", 0) is None:
-                    # nm arrived as a CLOSURE (never pytree-flattened): build
-                    # the lazy LLR table at trace time
-                    nm._ensure_llr_tab()
                 x, y = sample_sb(key, sigma)
                 x_hat = nm.hard_decide_index(y)
                 n_hat = nm.map_noise(y, x_hat)
@@ -206,16 +202,9 @@ class ReconciliationEngine:
                 word = self._bits_nb(
                     lambda b, idx: s2b_dev[:, b][idx], x_hat
                 )
-                Kt = nm._llr_K
-                t = jnp.clip(n_hat, 0.0, 1.0) * (Kt - 1)
-                i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, Kt - 2)
-                frac = t - i0.astype(dtype)
-                tab = nm._llr_tab.reshape(-1, bps)
-                base = i0 * M + x
+                llr_bits = nm._table_llr_bits(n_hat, x)        # bps x [S, B]
                 lappr = alpha.astype(dtype) * self._bits_nb(
-                    lambda b, _: tab[:, b][base]
-                    + (tab[:, b][base + M] - tab[:, b][base]) * frac,
-                    x_hat,
+                    lambda b, _: llr_bits[b], x_hat
                 )
                 return self._decode_and_count_nb(lappr, word, max_iterations)
 
@@ -296,6 +285,8 @@ class ReconciliationEngine:
         if mode in ("softening", "hard"):
             cfg = nmconfig if mode == "softening" else None
             nm = NoiseMapper(self.pa, N0, cfg, dtype=self.dtype)
+            if mode == "softening" and self.llr_mode == "table":
+                nm._ensure_llr_tab()   # before flatten: table-mode consumer
 
         round_fn = self._round_cache.get(mode)
         if round_fn is None:
@@ -403,6 +394,9 @@ class ReconciliationEngine:
             nms = [
                 NoiseMapper(self.pa, n0, cfg, dtype=self.dtype) for n0 in N0s
             ]
+            if mode == "softening" and self.llr_mode == "table":
+                for m in nms:
+                    m._ensure_llr_tab()
             nm_stack = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *nms
             )

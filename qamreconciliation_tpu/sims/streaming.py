@@ -135,6 +135,8 @@ class StreamReconciler:
 
         if self._alice_jit is None:
             llr_mode = self.llr_mode
+            if llr_mode == "table":
+                self.nm._ensure_llr_tab()   # before flatten
 
             def alice_round(nm, n_hat, x, synd, max_iter):
                 lappr = nm.demap_lappr_array(n_hat, x, mode=llr_mode)

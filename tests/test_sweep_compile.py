@@ -127,6 +127,7 @@ def test_point_batched_sweep_matches_manual_vmap_lanes():
     for p, snr in enumerate(snrs):
         N0 = pa.variance * 10 ** (-snr / 10) / 2
         nm = NoiseMapper(pa, N0, np.zeros(4, np.uint8), dtype=eng.dtype)
+        nm._ensure_llr_tab()   # table-mode consumer: build before jit
         sigma = jnp.asarray(math.sqrt(N0), eng.dtype)
         alpha = jnp.asarray(1.0, eng.dtype)
         pk = jax.random.fold_in(key, p)
@@ -150,3 +151,22 @@ def test_point_batched_sweep_direct_mode():
     res = eng.run_sweep_batched("direct", [6.0, 8.0], 10, 8, 10**9)
     assert len(res) == 2
     assert all(0.0 <= r.ber <= 1.0 for r in res)
+
+
+def test_lazy_llr_table_not_built_for_non_table_paths():
+    """Flattening a NoiseMapper (jit arg) must NOT force the O(K*M^3) LLR
+    table build; non-table consumers see a size-0 placeholder leaf."""
+    pa = PAMAlphabet(4, 2.0)            # M=16: the expensive case
+    nm = NoiseMapper(pa, 1.0)
+    leaves, _ = jax.tree_util.tree_flatten(nm)
+    assert nm._llr_tab is None          # still unbuilt after flatten
+    assert any(l.size == 0 for l in leaves)
+    # hard mode never needs it either
+    dec, mat, _ = _setup()
+    pa2 = PAMAlphabet(2, 2.0)
+    eng = ReconciliationEngine(dec, mat, pa2, batch=8)
+    eng.run_point("hard", 8.0, 10, 8, 10**9)
+    # table mode builds it eagerly before the flatten
+    r = eng.run_point("softening", 5.0, 10, 8, 10**9,
+                      nmconfig=np.zeros(4, np.uint8))
+    assert 0.0 <= r.ber <= 1.0
