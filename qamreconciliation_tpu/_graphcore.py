@@ -1,10 +1,11 @@
 """ctypes bindings to the native graphcore runtime (native/graphcore.cpp).
 
-The shared library is compiled on demand with g++ (no pybind11 in this image)
-and cached next to the source, keyed by a source hash.  Import fails with
-ImportError when no compiler is available; callers (utils/edgefile.py,
-bench.py, tests) treat the native path as optional and fall back to
-numpy/JAX implementations.
+The C++ source ships as package data (``qamreconciliation_tpu/native/``), so
+pip-installed copies keep the native oracle/baseline.  The shared library is
+compiled on demand with g++ (no pybind11 in this image) and cached next to
+the source, keyed by a source hash.  Import fails with ImportError when no
+compiler is available; callers (utils/edgefile.py, bench.py, tests) treat
+the native path as optional and fall back to numpy/JAX implementations.
 """
 
 from __future__ import annotations
@@ -18,13 +19,13 @@ import tempfile
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, os.pardir, "native", "graphcore.cpp")
+_SRC = os.path.join(_HERE, "native", "graphcore.cpp")
 
 
 def _build_lib() -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    cache_dir = os.path.join(_HERE, os.pardir, "native", "_build")
+    cache_dir = os.path.join(_HERE, "native", "_build")
     os.makedirs(cache_dir, exist_ok=True)
     lib_path = os.path.join(cache_dir, f"libgraphcore-{digest}.so")
     if os.path.exists(lib_path):

@@ -24,6 +24,7 @@ import functools
 
 import numpy as np
 from scipy.integrate import quad
+from scipy.special import logsumexp as np_logsumexp
 
 import jax
 import jax.numpy as jnp
@@ -70,13 +71,19 @@ def mutual_information_base_scheme_arg(n: float, nm: NoiseMapper, p_Xhat) -> flo
     two_var = 2.0 * nm.noise_var
 
     y_hat = np.array([_host_g_inv(nm, n, i) for i in range(M)])    # [M]
-    # denom[i, j] = sum_k p_k exp(-(2 y_i - c_j - c_k)(c_j - c_k)/2v)
+    # denom[i, j] = sum_k p_k exp(-(2 y_i - c_j - c_k)(c_j - c_k)/2v),
+    # computed in the log domain: the raw exp overflows for far-apart
+    # (y_hat, c_j) pairs (the reference's form emits RuntimeWarnings and
+    # relies on inf/NaN propagation, reference: mutual_information.pyx:43-119);
+    # logsumexp gives the same dF/denom values warning-free (overflowed denom
+    # -> f == 0 -> dropped by the q > 0 mask below, exactly as before).
     expo = -(
         (2.0 * y_hat[:, None, None] - c[None, :, None] - c[None, None, :])
         * (c[None, :, None] - c[None, None, :])
     ) / two_var
-    denom = np.sum(p[None, None, :] * np.exp(expo), axis=2)        # [i, j]
-    f_N_Xhat_cond_X = dF[:, None] / denom                          # [i, j]
+    with np.errstate(divide="ignore"):                 # log(p_k = 0) -> -inf
+        log_denom = np_logsumexp(expo + np.log(p)[None, None, :], axis=2)
+        f_N_Xhat_cond_X = np.exp(np.log(dF)[:, None] - log_denom)  # [i, j]
     f_N_cond_X = f_N_Xhat_cond_X.sum(axis=0)                       # [j]
 
     res = 0.0
@@ -121,9 +128,20 @@ def mutual_information_X_Y_int_arg(y: float, nm: NoiseMapper) -> float:
     two_var = 2.0 * nm.noise_var
     res = 0.0
     for j in range(nm.order):
+        # log-domain inner sum: the reference's raw exp overflows far from
+        # the constellation (log2(inf) * exp(-big) -> NaN, silently dropped
+        # at mutual_information.pyx:202-208).  Here log_tmp stays finite and
+        # the Gaussian weight underflows to exactly 0, so the term vanishes
+        # — the same contribution, warning-free.  The explicit NaN guard is
+        # kept to preserve the reference's drop semantics for any residual
+        # non-finite term.
         expo = (2.0 * y - c - c[j]) * (c - c[j]) / two_var
-        tmp = float(np.sum(p * np.exp(expo)))
-        tmp2 = p[j] * np.exp(-((y - c[j]) ** 2) / two_var) * np.log2(tmp)
+        with np.errstate(divide="ignore"):             # log(p_k = 0) -> -inf
+            log_tmp = float(np_logsumexp(expo + np.log(p)))
+        tmp2 = (
+            p[j] * np.exp(-((y - c[j]) ** 2) / two_var)
+            * (log_tmp / np.log(2.0))
+        )
         if not np.isnan(tmp2):
             res -= tmp2
     return res / (np.sqrt(2.0 * np.pi) * nm.noise_sigma)

@@ -81,6 +81,15 @@ class ShardedDecoder:
 
     # ------------------------------------------------------------------ #
 
+    def _build_decode(self):
+        """Engine duck-type contract (same as Decoder._build_decode /
+        QCDecoder._build_decode): returns the jitted
+        ``(prior [V, B], synd [C, B], max_iter) -> (success, iters, total)``
+        function, so a ShardedDecoder drops into ReconciliationEngine and
+        sharded *sweeps* run end-to-end (the reference's flagship loop,
+        reference: sims/reconciliation.pyx:93-168, under graph sharding)."""
+        return self._build()
+
     def _build(self):
         g = self.graph
         dtype = self.dtype

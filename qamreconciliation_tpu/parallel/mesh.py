@@ -30,15 +30,50 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
     return Mesh(np.array(devs), (axis_name,))
 
 
-def maybe_distributed_init():
+_dist_state = {"initialized": False}
+
+
+def maybe_distributed_init(verbose: bool = True) -> bool:
     """Initialize jax.distributed when launched under a multi-host runtime.
 
-    No-op on single-host (the common case in tests and single-chip runs).
+    Called by every sweep CLI before any device use (replacement for the
+    reference's per-process parfor launch,
+    reference: sims/sim_reconciliation.py:57-93).  No-op on single-host (no
+    coordinator address in the environment — the common case in tests and
+    single-chip runs).  Returns True iff the distributed runtime is active.
+
+    A *failed* init on a multi-host launch is loud: it warns and reports the
+    single-host fallback instead of silently mis-attributing the sweep's
+    statistics to one host.
     """
     import os
+    import sys
+    import warnings
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    if _dist_state["initialized"]:
+        return True
+    if not (
+        "JAX_COORDINATOR_ADDRESS" in os.environ
+        or "COORDINATOR_ADDRESS" in os.environ
+    ):
+        return False
+    try:
+        jax.distributed.initialize()
+    except Exception as e:
+        warnings.warn(
+            "multi-host launch detected (coordinator address set) but "
+            f"jax.distributed.initialize() failed: {e!r}; FALLING BACK to "
+            "single-host — counters will only cover this host's devices",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return False
+    _dist_state["initialized"] = True
+    if verbose:
+        print(
+            f"jax.distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.local_device_count()} local / "
+            f"{len(jax.devices())} global devices",
+            file=sys.stderr,
+        )
+    return True

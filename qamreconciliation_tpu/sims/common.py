@@ -7,6 +7,16 @@ import argparse
 import jax.numpy as jnp
 
 
+def init_runtime() -> bool:
+    """Per-CLI runtime init: join the multi-host distributed runtime when
+    launched under one (coordinator address in the environment).  Every sweep
+    ``main()`` calls this before touching devices.  Returns True iff
+    multi-host is active."""
+    from ..parallel import mesh
+
+    return mesh.maybe_distributed_init()
+
+
 def add_engine_args(parser: argparse.ArgumentParser):
     """TPU-engine flags shared by all sweep CLIs (extensions over the
     reference's flag surface; the reference flags are added per-script)."""

@@ -150,11 +150,10 @@ class ReconciliationEngine:
             lappr_nb, synd, max_iterations
         )
         K = self.K
-        errf = jnp.abs(
-            jnp.where(final[:K] < 0, 1.0, 0.0)
-            - word_nb[:K].astype(lappr_nb.dtype)
-        )
-        errors = jnp.sum(errf, axis=0).astype(jnp.int32)
+        # exact int32 XOR count (never sum error indicators in the LLR dtype:
+        # bfloat16 sums silently round above ~256, corrupting BER counters)
+        errb = (final[:K] < 0).astype(jnp.int32) ^ word_nb[:K].astype(jnp.int32)
+        errors = jnp.sum(errb, axis=0)
         return (
             jnp.sum(errors),
             jnp.sum(errors > 0),
@@ -383,6 +382,11 @@ class ReconciliationEngine:
         lockstep vmap (bounded waste) but stop accumulating counters.
         Results match ``run_point`` semantics per point (same counters, same
         stopping rule) with decorrelated per-point RNG streams.
+
+        ``frames_per_s`` semantic: every returned PointResult carries the
+        *grid-aggregate* throughput (total frames across all points / wall
+        time) — the points share every dispatch, so a per-point wall time
+        does not exist.  Sequential sweeps report true per-point throughput.
         """
         snr_points = [float(s) for s in snr_points]
         P = len(snr_points)

@@ -14,7 +14,7 @@ from ..models.matrix import Matrix
 from ..utils.checkpoint import SweepState
 from ..utils.edgefile import load_edge_csv
 from .bitchannel import BitChannelEngine
-from .common import add_engine_args, engine_kwargs
+from .common import init_runtime as common_init_runtime, add_engine_args, engine_kwargs
 
 
 def build_parser():
@@ -39,6 +39,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common_init_runtime()
     vid, cid = load_edge_csv(args.edgefile, num_data_first_row=args.first_row)
     dec = Decoder(vid, cid, dtype=np.dtype(args.dtype))
     mat = Matrix(vid, cid)

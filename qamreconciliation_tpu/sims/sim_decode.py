@@ -14,7 +14,7 @@ from ..models.matrix import Matrix
 from ..utils.checkpoint import SweepState
 from ..utils.edgefile import load_edge_csv
 from .bitchannel import BitChannelEngine
-from .common import add_engine_args, engine_kwargs
+from .common import init_runtime as common_init_runtime, add_engine_args, engine_kwargs
 
 
 def build_parser():
@@ -76,6 +76,7 @@ def run_sweep(args, snr_column: str):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common_init_runtime()
     return run_sweep(args, "EbN0dB")
 
 

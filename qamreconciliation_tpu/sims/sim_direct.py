@@ -7,10 +7,12 @@ for display-layer compatibility (reference: sims/sim_direct.py:105).
 """
 
 from .sim_decode import build_parser, run_sweep
+from .common import init_runtime as common_init_runtime
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common_init_runtime()
     return run_sweep(args, "EsN0dB")
 
 

@@ -14,6 +14,7 @@ from ..models.alphabet import PAMAlphabet
 from ..models.mutual_information import P_xhat, montecarlo_information
 from ..models.noisemapper import NoiseMapper
 from ..utils.checkpoint import SweepState
+from .common import init_runtime as common_init_runtime
 
 
 def build_parser():
@@ -40,6 +41,7 @@ def main(argv=None):
     import jax
 
     args = build_parser().parse_args(argv)
+    common_init_runtime()
     EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
     state = SweepState(args.out, resume=args.resume)
 

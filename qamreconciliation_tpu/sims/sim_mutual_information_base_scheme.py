@@ -18,6 +18,7 @@ from ..models.mutual_information import (
 )
 from ..models.noisemapper import NoiseMapper
 from ..utils.checkpoint import SweepState
+from .common import init_runtime as common_init_runtime
 
 
 def build_parser():
@@ -37,6 +38,7 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common_init_runtime()
     EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)
     state = SweepState(args.out, resume=args.resume)
 

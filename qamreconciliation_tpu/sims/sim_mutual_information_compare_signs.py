@@ -17,6 +17,7 @@ from ..models.mutual_information import (
     mutual_information_base_scheme,
 )
 from ..models.noisemapper import NoiseMapper
+from .common import init_runtime as common_init_runtime
 
 
 def reverse_flip_bits(n: int, M: int) -> int:
@@ -64,6 +65,7 @@ def main(argv=None):
     import jax
 
     args = build_parser().parse_args(argv)
+    common_init_runtime()
     M = 1 << args.bps
 
     config_array, kept_ids = enumerate_configs(M)

@@ -26,7 +26,7 @@ from ..models.matrix import Matrix
 from ..sims.engine import ReconciliationEngine
 from ..utils.checkpoint import SweepState
 from ..utils.edgefile import load_edge_csv
-from .common import add_engine_args, engine_kwargs
+from .common import init_runtime as common_init_runtime, add_engine_args, engine_kwargs
 
 
 def build_parser():
@@ -69,15 +69,25 @@ def build_parser():
     parser.add_argument("--configuration-base", action="store_true",
                         help="Instead of the Alternating configuration, use "
                         "the Base configuration")
+    parser.add_argument("--graph-shard", action="store_true",
+                        help="Partition the Tanner graph's check nodes over "
+                        "--devices devices (for codes too large for one "
+                        "chip); frames stay whole, variable totals are "
+                        "psum-reduced per BP iteration.  Mutually exclusive "
+                        "with frame-shard DP and --point-batch")
     parser.add_argument("--point-batch", action="store_true",
                         help="Advance ALL SNR points per device dispatch "
-                        "(vmapped over the grid; fastest for full sweeps)")
+                        "(vmapped over the grid; fastest for full sweeps). "
+                        "The journal's frames_per_s then reports the "
+                        "grid-AGGREGATE throughput, identical on every row "
+                        "(points share each dispatch)")
     add_engine_args(parser)
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    common_init_runtime()
 
     if args.qc:
         from ..models.qc_decoder import QCDecoder, load_qc_csv
@@ -88,6 +98,18 @@ def main(argv=None):
     else:
         vid, cid = load_edge_csv(args.edgefile)
         dec = Decoder(vid, cid, dtype=np.dtype(args.dtype))
+    if args.graph_shard:
+        if args.qc or args.point_batch:
+            raise SystemExit(
+                "--graph-shard is mutually exclusive with --qc/--point-batch"
+            )
+        from ..parallel import make_mesh
+        from ..parallel.graph_shard import ShardedDecoder
+
+        dec = ShardedDecoder(
+            vid, cid, make_mesh(args.devices, axis_name="gs"),
+            dtype=np.dtype(args.dtype),
+        )
     mat = Matrix(vid, cid)
     pa = PAMAlphabet(args.bps, 2)
 
@@ -99,7 +121,11 @@ def main(argv=None):
         if not args.configuration_base:
             nmconfig[1::2] = 1  # Alternating configuration
 
-    eng = ReconciliationEngine(dec, mat, pa, **engine_kwargs(args))
+    eng_kw = engine_kwargs(args)
+    if args.graph_shard:
+        # --devices carries the graph shards here, not frame-shard DP
+        eng_kw.pop("mesh_axis", None)
+    eng = ReconciliationEngine(dec, mat, pa, **eng_kw)
     state = SweepState(args.out, resume=args.resume)
 
     EsN0dB = np.linspace(args.snr[0], args.snr[1], args.nsnr)

@@ -54,9 +54,12 @@ class StreamReconciler:
 
     Args:
       dec, mat, pa, nm: decoder / parity matrix / alphabet / noise mapper.
-      batch: frames decoded per device round (the streaming block size is
-        ``batch * N_symb`` symbols).
-      llr_mode: "interp" or "search" (see NoiseMapper.demap_lappr_array).
+      batch: frames processed per device round on BOTH sides (the streaming
+        block size is ``batch * N_symb`` symbols; partial tail blocks are
+        padded up to ``batch`` so every call reuses one compiled program).
+      llr_mode: "table" (default; precomputed (n, j)->LLR map), "interp"
+        (per-sample grid inverse) or "search" (exact Newton inverse) — see
+        NoiseMapper.demap_lappr_array.
     """
 
     def __init__(
@@ -81,6 +84,11 @@ class StreamReconciler:
         self._carry_y = np.empty(0, np.float64)
         self._carry_x = np.empty(0, np.int64)
         self._alice_jit = None
+        self._bob_jit = None
+        if llr_mode == "table":
+            # build before any jit flattens the mapper: the lazy LLR table
+            # changes the pytree structure when materialized
+            nm._ensure_llr_tab()
 
     # ---------------------------------------------------------------- Bob
 
@@ -90,6 +98,11 @@ class StreamReconciler:
         Returns ``(words [F, N] uint8, synd [F, C] uint8, n_hat [F, N_symb])``
         for however many frames completed (F may be 0); incomplete-tail
         symbols are carried into the next call.
+
+        Frames are processed in fixed ``batch``-sized blocks with tail
+        padding (mirroring the Alice side), so any stream chunking reuses
+        ONE compiled program — per-shape retraces cost minutes on
+        remote-compile TPU backends.
         """
         y = np.concatenate([self._carry_y, np.asarray(y_block, np.float64).ravel()])
         F = y.size // self.N_symb
@@ -100,15 +113,37 @@ class StreamReconciler:
                 np.empty((0, self.mat.cnum), np.uint8),
                 np.empty((0, self.N_symb)),
             )
-        yf = jnp.asarray(y[: F * self.N_symb].reshape(F, self.N_symb))
-        x_hat = self.nm.hard_decide_index(yf)
-        n_hat = self.nm.map_noise(yf, x_hat)
-        words = self.pa.demap_symbols_to_bits(x_hat)
-        synd = self.mat.eval_syndrome(words)
+        yf = y[: F * self.N_symb].reshape(F, self.N_symb)
+
+        if self._bob_jit is None:
+
+            def bob_round(nm, yf):
+                x_hat = nm.hard_decide_index(yf)
+                n_hat = nm.map_noise(yf, x_hat)
+                words = self.pa.demap_symbols_to_bits(x_hat)
+                synd = self.mat.eval_syndrome(words)
+                return words, synd, n_hat
+
+            self._bob_jit = jax.jit(bob_round)
+
+        words_l, synd_l, nhat_l = [], [], []
+        for lo in range(0, F, self.batch):
+            hi = min(lo + self.batch, F)
+            take = hi - lo
+            blk = yf[lo:hi]
+            pad = self.batch - take
+            if pad:
+                blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)])
+            w, s, nh = self._bob_jit(
+                self.nm, jnp.asarray(blk, self.nm.dtype)
+            )
+            words_l.append(np.asarray(w, np.uint8)[:take])
+            synd_l.append(np.asarray(s, np.uint8)[:take])
+            nhat_l.append(np.asarray(nh)[:take])
         return (
-            np.asarray(words, np.uint8),
-            np.asarray(synd, np.uint8),
-            np.asarray(n_hat),
+            np.concatenate(words_l, axis=0),
+            np.concatenate(synd_l, axis=0),
+            np.concatenate(nhat_l, axis=0),
         )
 
     # -------------------------------------------------------------- Alice

@@ -64,3 +64,51 @@ def test_sharded_failure_semantics(setup):
     for k in range(2):
         if not bool(s[k]):
             assert int(i[k]) == 5
+
+
+def test_sharded_engine_sweep_matches_unsharded():
+    """A softening sweep runs end-to-end with a graph-sharded decoder
+    (the engine _build_decode duck-type contract) and its counters match
+    the unsharded engine exactly — same seed, same frames, same stats."""
+    from qamreconciliation_tpu import PAMAlphabet
+    from qamreconciliation_tpu.sims.engine import ReconciliationEngine
+
+    vid, cid = make_regular_ldpc(240, 3, 6, seed=13)
+    mesh = make_mesh(8, axis_name="gs")
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+
+    kw = dict(batch=16, dtype=jnp.float64)
+    eng_ref = ReconciliationEngine(Decoder(vid, cid, dtype=jnp.float64),
+                                   mat, pa, **kw)
+    eng_sh = ReconciliationEngine(
+        ShardedDecoder(vid, cid, mesh, dtype=jnp.float64), mat, pa, **kw
+    )
+
+    run = dict(decoder_iterations=15, simulation_loops=32,
+               ferr_count_min=10**9, seed=3,
+               nmconfig=np.zeros(4, np.uint8))
+    r_ref = eng_ref.run_point("softening", 5.0, **run)
+    r_sh = eng_sh.run_point("softening", 5.0, **run)
+    assert r_sh.frames == r_ref.frames
+    assert r_sh.fer == r_ref.fer
+    assert r_sh.ber == r_ref.ber
+    assert r_sh.iters == r_ref.iters
+
+
+def test_sharded_cli_sweep(tmp_path):
+    """--graph-shard on the real CLI, 8-way virtual mesh."""
+    from qamreconciliation_tpu.sims import sim_reconciliation
+    from qamreconciliation_tpu.utils import save_edge_csv
+
+    path = str(tmp_path / "code.csv")
+    vid, cid = make_regular_ldpc(240, 3, 6, seed=13)
+    save_edge_csv(path, vid, cid)
+    out = str(tmp_path / "gs.csv")
+    df = sim_reconciliation.main([
+        path, "--out", out, "--maxiter", "10", "--simloops", "32",
+        "--snr", "6", "6", "--nsnr", "1", "--batch", "16",
+        "--dtype", "float64", "--graph-shard", "--devices", "8",
+    ])
+    assert len(df) == 1
+    assert list(df.columns) == ["EsN0dB", "ber", "fer", "iters"]

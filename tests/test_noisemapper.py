@@ -234,7 +234,10 @@ def oracle_demap_lappr(nm, pa, sigma, n, j, quirk=False):
             )
             if not (quirk and k < j):
                 e = e / (2 * sigma**2)
-            s += pa.probabilities[k] * np.exp(e)
+            with np.errstate(over="ignore"):
+                # quirk mode leaves the exponent unscaled -> exp may overflow
+                # to inf; w = dF/inf = 0 is the intended quirk semantics
+                s += pa.probabilities[k] * np.exp(e)
         w = nm.delta_F_Y[i] / s
         for k in range(bps):
             if bits[i, k]:

@@ -79,3 +79,56 @@ def test_sharded_sweep_runs(setup):
     r = eng.run_point("direct", 7.0, 20, 128, 10**9, seed=0)
     assert r.frames == 128
     assert 0.0 <= r.ber <= 1.0
+
+
+class TestMaybeDistributedInit:
+    """CLI multi-host wiring (SURVEY §2 collective-backend row)."""
+
+    def test_noop_without_coordinator(self, monkeypatch):
+        from qamreconciliation_tpu.parallel import mesh
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setitem(mesh._dist_state, "initialized", False)
+        assert mesh.maybe_distributed_init() is False
+
+    def test_failure_warns_not_silent(self, monkeypatch):
+        """A failed multi-host init must be loud (single-host fallback would
+        silently mis-attribute sweep statistics)."""
+        import warnings
+
+        import jax
+
+        from qamreconciliation_tpu.parallel import mesh
+
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "203.0.113.1:1234")
+        monkeypatch.setitem(mesh._dist_state, "initialized", False)
+
+        def boom(*a, **k):
+            raise RuntimeError("no coordinator reachable")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            assert mesh.maybe_distributed_init() is False
+        assert any("FALLING BACK" in str(w.message) for w in rec)
+
+    def test_cli_reaches_init(self, monkeypatch, tmp_path):
+        """Every sweep CLI calls maybe_distributed_init before device use."""
+        from qamreconciliation_tpu.parallel import mesh
+        from qamreconciliation_tpu.sims import sim_bsc
+        from qamreconciliation_tpu.utils import make_regular_ldpc, save_edge_csv
+
+        calls = []
+        monkeypatch.setattr(
+            mesh, "maybe_distributed_init", lambda *a, **k: calls.append(1)
+        )
+        path = str(tmp_path / "code.csv")
+        vid, cid = make_regular_ldpc(120, 3, 6, seed=9)
+        save_edge_csv(path, vid, cid)
+        sim_bsc.main([
+            path, "--out", str(tmp_path / "o.csv"), "--maxiter", "5",
+            "--simloops", "32", "--rber", "0.01", "0.01", "--rpoints", "1",
+            "--batch", "32", "--dtype", "float64",
+        ])
+        assert calls

@@ -103,3 +103,19 @@ def test_stream_result_fer(chain):
     assert r.fer == 0.0
     r.success = [True, False, True, True]
     assert r.fer == pytest.approx(0.25)
+
+
+def test_stream_single_compiled_program(chain):
+    """Two different stream chunkings share ONE compiled program per side.
+
+    Bob pads partial tail blocks to the fixed batch (mirroring Alice), so
+    varying frame counts per call never retrace — each retrace costs minutes
+    on remote-compile TPU backends.
+    """
+    sr_a, _, res_a = _run_stream(chain, irregular_chunks, seed=7)
+    assert sr_a._bob_jit._cache_size() == 1
+    assert sr_a._alice_jit._cache_size() == 1
+
+    sr_b, _, res_b = _run_stream(chain, lambda total: [total], seed=7)
+    assert sr_b._bob_jit._cache_size() == 1
+    assert res_a.success == res_b.success
