@@ -173,9 +173,13 @@ class Decoder:
     (``Decoder(e_to_v, e_to_c)``, reference: qamreconciliation/decoder.pyx:93).
     """
 
-    def __init__(self, e_to_v, e_to_c, dtype=DEFAULT_DTYPE):
+    def __init__(self, e_to_v, e_to_c, dtype=DEFAULT_DTYPE,
+                 use_pallas: bool | None = None):
         self.graph = TannerGraph(e_to_v, e_to_c)
         self.dtype = jnp.dtype(dtype)
+        # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_generic)
+        # None = auto (on for the TPU backend, off elsewhere)
+        self.use_pallas = use_pallas
         self._decode_jit = None
 
     # Properties: reference qamreconciliation/decoder.pyx:157-172
@@ -197,6 +201,10 @@ class Decoder:
     def _build_decode(self):
         g = self.graph
         dtype = self.dtype
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        interpret = jax.default_backend() != "tpu"
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success [B], iters [B], final [V, B]).
@@ -226,47 +234,78 @@ class Decoder:
             def gather_totals(total):
                 return total[g._c_vids].reshape(g.cnum, g.dc_max, B)
 
+            def check_phase(t_c, c2v_c):
+                """(conv [B], c2v_new) — fused Pallas kernel or XLA ops."""
+                if use_pallas:
+                    from ..ops.pallas_kernels import bp_check_phase_generic
+
+                    c2v_new, viol = bp_check_phase_generic(
+                        t_c, c2v_c, synd_cb, c_mask, interpret=interpret
+                    )
+                    return jnp.sum(viol, axis=0) == 0, c2v_new
+                conv = consistent_from_gather(t_c)
+                c2v_new = check_node_update(t_c - c2v_c, synd_cb, c_mask)
+                return conv, c2v_new
+
             def cond(state):
-                it, _, _, done, _ = state
+                it, _, _, _, done, _ = state
                 return jnp.logical_and(it < max_iterations, ~jnp.all(done))
 
             def body(state):
-                it, c2v_c, total, done, iters = state
+                it, c2v_c, total, final, done, iters = state
                 t_c = gather_totals(total)                     # gather 1
                 # convergence of the CURRENT totals (after iteration `it`):
                 # at it=0 this is the reference's pre-check of the priors
                 # (reference: qamreconciliation/decoder.pyx:402-405).
-                conv = consistent_from_gather(t_c)
+                conv, c2v_new = check_phase(t_c, c2v_c)
                 newly = jnp.logical_and(conv, ~done)
                 iters_new = jnp.where(newly, it, iters)
                 done_new = jnp.logical_or(done, conv)
+                # Capture-at-convergence instead of freezing the loop state:
+                # converged frames keep iterating (lockstep batch — the work
+                # is spent either way) but their result is snapshotted HERE,
+                # so the reference's stop-at-convergence final LLRs are
+                # preserved (reference: qamreconciliation/decoder.pyx:404,
+                # 412) without the 3x [C*dc, B] freeze-mask traffic the
+                # previous where()-based freeze paid every iteration.  The
+                # cond skips the [V, B] snapshot whenever no frame newly
+                # converged (the common case below the decoding threshold).
+                final_new = jax.lax.cond(
+                    jnp.any(newly),
+                    lambda f: jnp.where(newly[None, :], total, f),
+                    lambda f: f,
+                    final,
+                )
 
-                v2c_c = t_c - c2v_c
-                c2v_new = check_node_update(v2c_c, synd_cb, c_mask)
                 c2v_v = g.permute_c_to_v(c2v_new.reshape(-1, B))  # gather 2
                 total_new, _ = var_node_update(prior_vb, c2v_v, v_mask)
-
-                upd = ~done_new
-                total_out = jnp.where(upd[None, :], total_new, total)
-                c2v_out = jnp.where(upd[None, None, :], c2v_new, c2v_c)
-                return (it + 1, c2v_out, total_out, done_new, iters_new)
+                return (
+                    it + 1, c2v_new, total_new, final_new, done_new, iters_new
+                )
 
             init = (
                 jnp.int32(0),
                 jnp.zeros((g.cnum, g.dc_max, B), dtype),
                 prior_vb,
+                prior_vb,
                 jnp.zeros(B, bool),
                 jnp.zeros(B, jnp.int32),
             )
-            it, _, total, done, iters = jax.lax.while_loop(cond, body, init)
+            it, _, total, final, done, iters = jax.lax.while_loop(
+                cond, body, init
+            )
             # frames that converged exactly at the final allowed iteration
             # exit the loop untested — one final syndrome test covers them.
             conv = consistent_from_gather(gather_totals(total))
             newly = jnp.logical_and(conv, ~done)
             iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
+            final = jnp.where(newly[None, :], total, final)
             done = jnp.logical_or(done, conv)
             iters = jnp.where(done, iters, max_iterations)
-            return done, iters, total
+            # failures: final LLRs = the totals at max_iterations
+            # (reference: decoder.pyx:436 — final always written)
+            final = jnp.where(done[None, :], final, total)
+            return done, iters, final
 
         return jax.jit(decode_batched)
 

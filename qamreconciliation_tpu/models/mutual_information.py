@@ -41,6 +41,7 @@ __all__ = [
     "mutual_information_X_Y_int_arg",
     "mutual_information_X_Y",
     "montecarlo_information",
+    "montecarlo_information_batched",
 ]
 
 
@@ -154,13 +155,11 @@ def mutual_information_X_Y(nm: NoiseMapper) -> float:
 
 # --------------------------------------------------------------------- #
 
-@functools.partial(
-    jax.jit, static_argnames=("pa", "N", "which"),
-)
-def _mc_info(key, pa, nm, p_Xhat_dev, N, which):
-    """Single-program MC estimator core; nm rides in as a pytree argument,
-    so one compile serves every SNR point of a sweep (the alphabet is static
-    via its hash — identity-based, alphabets are built once per sweep)."""
+def _mc_info_impl(key, pa, nm, p_Xhat_dev, N, which):
+    """MC estimator core (unjitted; see ``_mc_info`` and
+    ``_mc_info_batched``); nm rides in as a pytree argument, so one compile
+    serves every SNR point of a sweep (the alphabet is static via its hash —
+    identity-based, alphabets are built once per sweep)."""
     dtype = nm.dtype
     kx, kn = jax.random.split(jnp.asarray(key))
     x_ind = pa.random_symbols(kx, N)
@@ -214,6 +213,42 @@ def _mc_info(key, pa, nm, p_Xhat_dev, N, which):
         I_XN_Xhat = -jnp.mean(jnp.log2(val))
 
     return I_X_Xhat, I_X_Y, I_XN_Xhat
+
+
+_mc_info = functools.partial(jax.jit, static_argnames=("pa", "N", "which"))(
+    _mc_info_impl
+)
+
+
+@functools.partial(jax.jit, static_argnames=("pa", "N", "which"))
+def _mc_info_batched(keys, pa, nm_stack, p_Xhat_stack, N, which):
+    """vmap of the MC core over a leading batch axis of stacked NoiseMapper
+    pytrees (the sign-configuration study's axis: ``sign_config`` is a
+    device leaf, so P mappers at one SNR stack into one pytree and all P
+    configs advance per dispatch — one compile for the whole enumeration,
+    replacing the reference's per-config sequential loop,
+    reference: sims/sim_mutual_information_compare_signs.py:67-95)."""
+    return jax.vmap(
+        lambda k, nm, p: _mc_info_impl(k, pa, nm, p, N, which)
+    )(keys, nm_stack, p_Xhat_stack)
+
+
+def montecarlo_information_batched(keys, pa, nms, p_Xhats, N, which):
+    """Batched MC estimators over a list of NoiseMappers (e.g. one per sign
+    configuration) sharing one alphabet and one noise variance.
+
+    Args:
+      keys: [P] PRNG keys (one stream per mapper).
+      nms: list of P NoiseMappers with identical table shapes.
+      p_Xhats: [P, M] decision marginals (one per mapper).
+      N: samples per mapper per call.  which: static 3-bool mask.
+
+    Returns a [P, 3] numpy array of (I_X_Xhat, I_X_Y, I_XN_Xhat) rows.
+    """
+    nm_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *nms)
+    p_stack = jnp.asarray(np.asarray(p_Xhats), nms[0].dtype)
+    out = _mc_info_batched(keys, pa, nm_stack, p_stack, int(N), tuple(which))
+    return np.stack([np.asarray(o) for o in out], axis=1)
 
 
 def montecarlo_information(

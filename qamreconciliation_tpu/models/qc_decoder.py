@@ -81,9 +81,14 @@ class QCDecoder:
     variable ``vb*z + k`` ↔ check ``cb*z + ((k + shift) % z)``.
     """
 
-    def __init__(self, base_edges, z: int, dtype=DEFAULT_DTYPE):
+    def __init__(self, base_edges, z: int, dtype=DEFAULT_DTYPE,
+                 use_pallas: bool | None = None):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
+        # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
+        # None = auto (on for the TPU backend, off elsewhere); tests force
+        # the interpreter via use_pallas=True on CPU.
+        self.use_pallas = use_pallas
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -157,9 +162,14 @@ class QCDecoder:
             """Check update in native [nb_c, dc, z, B] layout (full rows, no
             mask): sign/phi sum-product with the syndrome prefactor — same
             math as ops.boxplus.check_node_update, middle-axis reduces only.
+            bf16 messages are upcast to f32 for the phi math (see
+            ops/boxplus.py) and stored back at half width.
             """
             from ..ops.boxplus import phi_llr
 
+            out_dtype = v2c.dtype
+            if out_dtype == jnp.bfloat16:
+                v2c = v2c.astype(jnp.float32)
             phim = phi_llr(jnp.abs(v2c), tiny)
             s_phi = jnp.sum(phim, axis=1, keepdims=True)
             mag = phi_llr(s_phi - phim, tiny)
@@ -167,7 +177,12 @@ class QCDecoder:
             parity = jnp.sum(neg, axis=1, keepdims=True) & 1
             sign = (1 - 2 * jnp.bitwise_xor(parity, neg)).astype(v2c.dtype)
             pref = (1 - 2 * synd).astype(v2c.dtype)[:, None]  # [nb_c,1,z,B]
-            return sign * pref * mag
+            return (sign * pref * mag).astype(out_dtype)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        interpret = jax.default_backend() != "tpu"
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
@@ -182,41 +197,64 @@ class QCDecoder:
                     (parity == synd).reshape(-1, B), axis=0
                 )
 
+            def check_phase(t, c2v):
+                """(conv [B], c2v_new) — fused Pallas kernel or XLA ops."""
+                if use_pallas:
+                    from ..ops.pallas_kernels import bp_check_phase_qc
+
+                    c2v_new, viol = bp_check_phase_qc(
+                        t, c2v, synd, interpret=interpret
+                    )
+                    return jnp.sum(viol, axis=(0, 1)) == 0, c2v_new
+                return consistent(t), qc_check_update(t - c2v, synd)
+
             def cond(state):
-                it, _, _, done, _ = state
+                it, _, _, _, done, _ = state
                 return jnp.logical_and(it < max_iterations, ~jnp.all(done))
 
             def body(state):
-                it, c2v, total, done, iters = state
+                it, c2v, total, final, done, iters = state
                 t = gather_totals(total)                  # [nb_c, dc, z, B]
-                conv = consistent(t)
+                conv, c2v_new = check_phase(t, c2v)
                 newly = jnp.logical_and(conv, ~done)
                 iters_new = jnp.where(newly, it, iters)
                 done_new = jnp.logical_or(done, conv)
+                # capture-at-convergence (see models/decoder.py): snapshot
+                # newly-converged frames' totals instead of freezing the
+                # whole loop state — saves the 3x [nb_c, dc, z, B] freeze
+                # traffic per iteration; cond skips the snapshot entirely
+                # when no frame newly converged.
+                final_new = jax.lax.cond(
+                    jnp.any(newly),
+                    lambda f: jnp.where(newly[None, None, :], total, f),
+                    lambda f: f,
+                    final,
+                )
 
-                v2c = t - c2v
-                c2v_new = qc_check_update(v2c, synd)
                 total_new = prior + scatter_partials(c2v_new)
-
-                upd = ~done_new
-                total_out = jnp.where(upd[None, None, :], total_new, total)
-                c2v_out = jnp.where(upd[None, None, None, :], c2v_new, c2v)
-                return (it + 1, c2v_out, total_out, done_new, iters_new)
+                return (
+                    it + 1, c2v_new, total_new, final_new, done_new, iters_new
+                )
 
             init = (
                 jnp.int32(0),
                 jnp.zeros((nb_c, dc, z, B), dtype),
                 prior,
+                prior,
                 jnp.zeros(B, bool),
                 jnp.zeros(B, jnp.int32),
             )
-            it, _, total, done, iters = jax.lax.while_loop(cond, body, init)
+            it, _, total, final, done, iters = jax.lax.while_loop(
+                cond, body, init
+            )
             conv = consistent(gather_totals(total))
             newly = jnp.logical_and(conv, ~done)
             iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
+            final = jnp.where(newly[None, None, :], total, final)
             done = jnp.logical_or(done, conv)
             iters = jnp.where(done, iters, max_iterations)
-            return done, iters, total.reshape(nb_v * z, B)
+            final = jnp.where(done[None, None, :], final, total)
+            return done, iters, final.reshape(nb_v * z, B)
 
         return jax.jit(decode_batched)
 

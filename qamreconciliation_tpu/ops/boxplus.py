@@ -69,7 +69,16 @@ def check_node_update(v2c_c, synd, c_mask, tiny: float = 1e-30):
     Returns c2v_c [C, dc_max, B]: extrinsic check->variable messages with the
     syndrome prefactor ``(-1)^synd`` applied
     (semantics of reference: qamreconciliation/decoder.pyx:322-369).
+
+    bfloat16 messages are upcast to float32 for the phi math (exp/log in
+    bf16's 8-bit mantissa distorts small-LLR magnitudes) and the result is
+    stored back in bf16 — messages ride HBM at half width, arithmetic stays
+    f32-accurate in registers.
     """
+    out_dtype = v2c_c.dtype
+    if out_dtype == jnp.bfloat16:
+        v2c_c = v2c_c.astype(jnp.float32)
+        c_mask = c_mask.astype(jnp.float32)
     mask = c_mask[:, :, None]
     absm = jnp.abs(v2c_c)
     phim = phi_llr(absm, tiny) * mask
@@ -82,7 +91,7 @@ def check_node_update(v2c_c, synd, c_mask, tiny: float = 1e-30):
     sign = (1 - 2 * ext_neg).astype(v2c_c.dtype)
 
     pref = (1 - 2 * synd.astype(jnp.int32)).astype(v2c_c.dtype)[:, None, :]
-    return sign * pref * mag * mask
+    return (sign * pref * mag * mask).astype(out_dtype)
 
 
 def var_node_update(prior, c2v_v, v_mask):

@@ -31,7 +31,11 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-__all__ = ["check_node_update_pallas"]
+__all__ = [
+    "check_node_update_pallas",
+    "bp_check_phase_qc",
+    "bp_check_phase_generic",
+]
 
 
 def _kernel(v2c_ref, synd_ref, mask_ref, out_ref, *, tiny):
@@ -52,6 +56,176 @@ def _kernel(v2c_ref, synd_ref, mask_ref, out_ref, *, tiny):
 
     pref = (1 - 2 * synd_ref[:]).astype(v.dtype)[:, None, :]
     out_ref[:] = sign * pref * mag * mask
+
+
+# --------------------------------------------------------------------- #
+# Fused BP check PHASE (SURVEY.md §7.7): one kernel per block of checks
+# performs, entirely in VMEM,
+#   1. the syndrome convergence test of the gathered totals t
+#      (parity of signs vs synd, partial violation counts out),
+#   2. v2c = t - c2v (extrinsic reconstruction),
+#   3. the sign/phi sum-product check update with the syndrome prefactor.
+# The unfused XLA graph materializes v2c and the phi intermediates in HBM
+# and re-reads t for the convergence reduction; at DVB-S2 scale that is
+# ~300-500 MB of avoidable HBM traffic per BP iteration.  Messages may be
+# bf16 (HBM at half width); the phi math always runs in f32.
+
+
+def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
+                        tiny, dc_axis):
+    t = t_ref[:]
+    compute = jnp.float32 if t.dtype == jnp.bfloat16 else t.dtype
+    synd = synd_ref[:].astype(jnp.int32)
+
+    # 1. convergence partials: parity of hard decisions vs syndrome block
+    neg_t = (t < 0).astype(jnp.int32)
+    parity = jnp.sum(neg_t, axis=dc_axis) & 1                # synd-shaped
+    viol = (parity != synd).astype(jnp.int32)
+    viol_ref[0, 0, :] = jnp.sum(
+        viol.reshape(-1, viol.shape[-1]), axis=0
+    )
+
+    # 2./3. extrinsic check update in f32
+    v2c = t.astype(compute) - c2v_ref[:].astype(compute)
+    phim = phi_llr(jnp.abs(v2c), tiny)
+    s_phi = jnp.sum(phim, axis=dc_axis, keepdims=True)
+    mag = phi_llr(s_phi - phim, tiny)
+    neg = (v2c < 0).astype(jnp.int32)
+    par = jnp.sum(neg, axis=dc_axis, keepdims=True) & 1
+    sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(compute)
+    pref = jnp.expand_dims((1 - 2 * synd).astype(compute), dc_axis)
+    out_ref[:] = (sign * pref * mag).astype(t.dtype)
+
+
+def _pick_zb(z: int, cap: int = 384) -> int:
+    """z-chunk size: largest divisor of z <= cap, preferring sublane-aligned
+    (multiple of 8) divisors; bounds the kernel's VMEM block size."""
+    divs = [d for d in range(1, min(z, cap) + 1) if z % d == 0]
+    aligned = [d for d in divs if d % 8 == 0]
+    return max(aligned or divs)
+
+
+@functools.partial(jax.jit, static_argnames=("block_z", "interpret"))
+def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
+                      block_z: int | None = None, interpret: bool = False):
+    """Fused check phase in the QC decoder's native layout.
+
+    Args:
+      t:    [nb_c, dc, z, B] gathered variable totals (circulant rolls).
+      c2v:  [nb_c, dc, z, B] previous check->var messages.
+      synd: [nb_c, z, B] syndrome bits (0/1 int).
+
+    Returns ``(c2v_new [nb_c, dc, z, B], viol [nb_c, nzb, B] int32)`` where
+    ``viol`` holds per-(check-block, z-chunk) violation counts:
+    ``viol.sum((0, 1)) == 0`` is the per-frame convergence mask.
+    Semantics match models/qc_decoder.qc_check_update + consistent()
+    (reference: qamreconciliation/decoder.pyx:322-369, 251-257).
+    """
+    nb_c, dc, z, B = t.shape
+    ZB = block_z or _pick_zb(z)
+    if z % ZB:
+        raise ValueError(f"block_z {ZB} must divide z {z}")
+    nzb = z // ZB
+    grid = (nb_c, nzb)
+    out, viol = pl.pallas_call(
+        functools.partial(_check_phase_kernel, tiny=tiny, dc_axis=1),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb_c, dc, z, B), t.dtype),
+            jax.ShapeDtypeStruct((nb_c, nzb, B), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, dc, ZB, B), lambda i, j: (i, 0, j, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, dc, ZB, B), lambda i, j: (i, 0, j, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, ZB, B), lambda i, j: (i, j, 0),
+                         memory_space=_VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, dc, ZB, B), lambda i, j: (i, 0, j, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, B), lambda i, j: (i, j, 0),
+                         memory_space=_VMEM),
+        ),
+        interpret=interpret,
+    )(t, c2v, synd.astype(jnp.int32))
+    return out, viol
+
+
+@functools.partial(jax.jit, static_argnames=("block_c", "interpret"))
+def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
+                           block_c: int = 256, interpret: bool = False):
+    """Fused check phase for the generic decoder's [C, dc, B] layout.
+
+    Same fusion as :func:`bp_check_phase_qc` with padded-slot masking.
+    Returns ``(c2v_new [C, dc, B], viol [nblocks, 1, B] int32)``.
+    """
+    C, dc, B = t.shape
+    CB = min(block_c, C)
+    C_pad = ((C + CB - 1) // CB) * CB
+    if C_pad != C:
+        pad = C_pad - C
+        t = jnp.concatenate([t, jnp.zeros((pad, dc, B), t.dtype)], axis=0)
+        c2v = jnp.concatenate(
+            [c2v, jnp.zeros((pad, dc, B), c2v.dtype)], axis=0
+        )
+        synd = jnp.concatenate(
+            [synd.astype(jnp.int32), jnp.zeros((pad, B), jnp.int32)], axis=0
+        )
+        c_mask = jnp.concatenate(
+            [c_mask, jnp.zeros((pad, dc), c_mask.dtype)], axis=0
+        )
+    nblocks = C_pad // CB
+
+    def kernel(t_ref, c2v_ref, synd_ref, mask_ref, out_ref, viol_ref, *,
+               tiny=tiny):
+        t_k = t_ref[:]
+        compute = jnp.float32 if t_k.dtype == jnp.bfloat16 else t_k.dtype
+        mask = mask_ref[:].astype(compute)[:, :, None]
+        synd_k = synd_ref[:].astype(jnp.int32)
+
+        neg_t = ((t_k < 0).astype(jnp.int32)
+                 * mask.astype(jnp.int32))
+        parity = jnp.sum(neg_t, axis=1) & 1
+        viol = (parity != synd_k).astype(jnp.int32)
+        viol_ref[0, :] = jnp.sum(viol, axis=0)
+
+        v2c = (t_k.astype(compute) - c2v_ref[:].astype(compute))
+        phim = phi_llr(jnp.abs(v2c), tiny) * mask
+        s_phi = jnp.sum(phim, axis=1, keepdims=True)
+        mag = phi_llr(s_phi - phim, tiny)
+        neg = jnp.logical_and(v2c < 0, mask > 0).astype(jnp.int32)
+        par = jnp.sum(neg, axis=1, keepdims=True) & 1
+        sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(compute)
+        pref = (1 - 2 * synd_k).astype(compute)[:, None, :]
+        out_ref[:] = (sign * pref * mag * mask).astype(t_k.dtype)
+
+    out, viol = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C_pad, dc, B), t.dtype),
+            jax.ShapeDtypeStruct((nblocks, B), jnp.int32),
+        ),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((CB, dc, B), lambda i: (i, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((CB, dc, B), lambda i: (i, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((CB, B), lambda i: (i, 0), memory_space=_VMEM),
+            pl.BlockSpec((CB, dc), lambda i: (i, 0), memory_space=_VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((CB, dc, B), lambda i: (i, 0, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, B), lambda i: (i, 0), memory_space=_VMEM),
+        ),
+        interpret=interpret,
+    )(t, c2v, synd.astype(jnp.int32), c_mask)
+    # padded rows are all-zero (t=0, synd=0 -> parity==synd), so they never
+    # contribute violations; only the message rows need trimming
+    return out[:C], viol
 
 
 @functools.partial(jax.jit, static_argnames=("block_c", "interpret"))

@@ -132,40 +132,52 @@ class ShardedDecoder:
                 return jnp.sum(c2v_v * v_valid[:, :, None], axis=1)
 
             def cond(state):
-                it, _, _, done, _ = state
+                it, _, _, _, done, _ = state
                 return jnp.logical_and(it < max_iterations, ~jnp.all(done))
 
             def body(state):
-                it, c2v, total, done, iters = state
+                it, c2v, total, final, done, iters = state
                 t_c = gather_totals(total)
                 conv = consistent(t_c)
                 newly = jnp.logical_and(conv, ~done)
                 iters_new = jnp.where(newly, it, iters)
                 done_new = jnp.logical_or(done, conv)
+                # capture-at-convergence (see models/decoder.py): snapshot
+                # instead of freezing; skips the [V, B] copy when nothing
+                # newly converged.
+                final_new = jax.lax.cond(
+                    jnp.any(newly),
+                    lambda f: jnp.where(newly[None, :], total, f),
+                    lambda f: f,
+                    final,
+                )
 
                 v2c = t_c - c2v
                 c2v_new = check_node_update(v2c, synd, c_mask)
                 total_new = prior + jax.lax.psum(var_partial(c2v_new), axis)
-
-                upd = ~done_new
-                total_out = jnp.where(upd[None, :], total_new, total)
-                c2v_out = jnp.where(upd[None, None, :], c2v_new, c2v)
-                return (it + 1, c2v_out, total_out, done_new, iters_new)
+                return (
+                    it + 1, c2v_new, total_new, final_new, done_new, iters_new
+                )
 
             init = (
                 jnp.int32(0),
                 jnp.zeros((Cd, dc, B), dtype),
                 prior.astype(dtype),
+                prior.astype(dtype),
                 jnp.zeros(B, bool),
                 jnp.zeros(B, jnp.int32),
             )
-            it, _, total, done, iters = jax.lax.while_loop(cond, body, init)
+            it, _, total, final, done, iters = jax.lax.while_loop(
+                cond, body, init
+            )
             conv = consistent(gather_totals(total))
             newly = jnp.logical_and(conv, ~done)
             iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
+            final = jnp.where(newly[None, :], total, final)
             done = jnp.logical_or(done, conv)
             iters = jnp.where(done, iters, max_iterations)
-            return done, iters, total
+            final = jnp.where(done[None, :], final, total)
+            return done, iters, final
 
         mapped = jax.shard_map(
             local_decode,

@@ -4,6 +4,14 @@ Mirrors the reference (reference: sims/sim_mutual_information_compare_signs.py):
 enumerate all monotonicity sign configurations up to flip-reversal symmetry
 (config_count = 2^(M/2-1) * (2^(M/2)+1) kept configs out of 2^M) and evaluate
 I(X,N;Xhat) for each, analytically (quad) or by Monte-Carlo.
+
+The Monte-Carlo path is config-BATCHED: ``sign_config`` is a device leaf of
+the NoiseMapper pytree, so all kept configurations at one SNR stack into a
+single pytree and one vmapped estimator call advances every configuration
+at once — one compile for the whole enumeration (32,896 configs at bps=4),
+where the reference loops configs sequentially
+(reference: sim_mutual_information_compare_signs.py:67-95).  ``--resume``
+restarts from the per-SNR-point journal.
 """
 
 import argparse
@@ -13,10 +21,11 @@ import numpy as np
 from ..models.alphabet import PAMAlphabet
 from ..models.mutual_information import (
     P_xhat,
-    montecarlo_information,
+    montecarlo_information_batched,
     mutual_information_base_scheme,
 )
 from ..models.noisemapper import NoiseMapper
+from ..utils.checkpoint import SweepState
 from .common import init_runtime as common_init_runtime
 
 
@@ -58,6 +67,12 @@ def build_parser():
     parser.add_argument("--nmontecarlo", type=int, default=1 << 12)
     parser.add_argument("--nloops", type=int, default=1 << 6)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--config-chunk", type=int, default=4096,
+                        help="Configurations per vmapped estimator call "
+                        "(bounds device memory at bps=4's 32,896 configs; "
+                        "chunks of equal size share one compiled program)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the per-SNR-point journal")
     return parser
 
 
@@ -79,32 +94,60 @@ def main(argv=None):
     # One alphabet for the whole sweep (static arg of the jitted MC core).
     pa = PAMAlphabet(args.bps, 2)
     Es = pa.variance
+    state = SweepState(args.out, resume=args.resume)
     rows = []
     for i, esn0db in enumerate(EsN0dB):
+        prev = state.done(esn0db)
+        if prev is not None:
+            rows.append(tuple([prev["point"]] + list(prev["values"])))
+            continue
         N0 = Es * (10 ** (-esn0db / 10)) / 2
-        res = [float(esn0db)]
-        for k in range(config_count):
-            nm = NoiseMapper(pa, N0, config_array[k], dtype=np.float64)
-            p_Xhat = P_xhat(nm)
-            if args.montecarlo:
-                key = jax.random.key(args.seed + 104729 * i + k)
-                acc = 0.0
+        if args.montecarlo:
+            # all configs advance per dispatch: stacked mapper pytrees +
+            # the vmapped one-program estimator (chunked to bound memory)
+            nms = [
+                NoiseMapper(pa, N0, config_array[k], dtype=np.float64)
+                for k in range(config_count)
+            ]
+            p_Xhats = np.stack([P_xhat(nm) for nm in nms])
+            acc = np.zeros(config_count)
+            key = jax.random.key(args.seed + 104729 * i)
+            CH = max(1, min(args.config_chunk, config_count))
+            for lo in range(0, config_count, CH):
+                hi = min(lo + CH, config_count)
+                take = hi - lo
+                # pad the tail chunk so every chunk reuses one program
+                idx = list(range(lo, hi)) + [hi - 1] * (CH - take)
+                chunk_nms = [nms[k] for k in idx]
+                chunk_p = p_Xhats[idx]
+                acc_c = np.zeros(CH)
                 for ln in range(args.nloops):
-                    _, _, tmp = montecarlo_information(
-                        jax.random.fold_in(key, ln), pa, nm, p_Xhat,
-                        args.nmontecarlo, which=(False, False, True),
+                    keys = jax.random.split(
+                        jax.random.fold_in(key, ln * 131071 + lo), CH
                     )
-                    acc += tmp
-                res.append(acc / args.nloops)
-            else:
-                res.append(mutual_information_base_scheme(nm, p_Xhat))
-        rows.append(tuple(res))
+                    out = montecarlo_information_batched(
+                        keys, pa, chunk_nms, chunk_p, args.nmontecarlo,
+                        which=(False, False, True),
+                    )
+                    acc_c += out[:, 2]
+                acc[lo:hi] = acc_c[:take] / args.nloops
+            values = [float(v) for v in acc]
+        else:
+            values = []
+            for k in range(config_count):
+                nm = NoiseMapper(pa, N0, config_array[k], dtype=np.float64)
+                values.append(
+                    mutual_information_base_scheme(nm, P_xhat(nm))
+                )
+        state.record(esn0db, dict(values=values))
+        rows.append(tuple([float(esn0db)] + values))
         print(f"[EsN0dB={esn0db:.3f}] done")
 
     from pandas import DataFrame
 
     df = DataFrame(rows, columns=column_list)
     df.to_csv(args.out)
+    state.cleanup()
     return df
 
 

@@ -136,6 +136,52 @@ def test_sim_mutual_information_compare_signs(tmp_path):
     assert df[alt_col].iloc[0] >= df[base_col].iloc[0] - 1e-9
 
 
+def test_sim_compare_signs_montecarlo_batched_resume(tmp_path):
+    """Config-batched MC path (one vmapped program over stacked mappers,
+    chunk-padded) agrees with the sequential estimator to MC accuracy and
+    honors --resume."""
+    import jax
+    import numpy as np
+
+    from qamreconciliation_tpu.models.alphabet import PAMAlphabet
+    from qamreconciliation_tpu.models.mutual_information import (
+        P_xhat, montecarlo_information,
+    )
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+    from qamreconciliation_tpu.sims import (
+        sim_mutual_information_compare_signs as smics,
+    )
+    from qamreconciliation_tpu.utils.checkpoint import SweepState
+
+    out = str(tmp_path / "csmc.csv")
+    args = ["--out", out, "--snr", "4", "4", "--nsnr", "1", "--montecarlo",
+            "--nloops", "8", "--nmontecarlo", "4096", "--config-chunk", "3"]
+    df = smics.main(args)
+    assert len(df.columns) == 11
+
+    # statistical agreement with the sequential estimator on the base config
+    pa = PAMAlphabet(2, 2)
+    N0 = pa.variance * 10 ** (-0.4) / 2
+    nm = NoiseMapper(pa, N0, np.zeros(4, np.uint8), dtype=np.float64)
+    p = P_xhat(nm)
+    key = jax.random.key(99)
+    seq = np.mean([
+        montecarlo_information(
+            jax.random.fold_in(key, ln), pa, nm, p, 4096,
+            which=(False, False, True),
+        )[2]
+        for ln in range(8)
+    ])
+    assert abs(df["I(X,N;Xhat)_0"].iloc[0] - seq) < 0.05
+
+    # resume: pre-record a sentinel row and check it is honored
+    state = SweepState(out)
+    state.record(4.0, dict(values=[float(k) for k in range(10)]))
+    df2 = smics.main(args + ["--resume"])
+    assert df2["I(X,N;Xhat)_0"].iloc[0] == 0.0
+    assert df2["I(X,N;Xhat)_12"].iloc[0] == 9.0
+
+
 def test_sim_to_display_schema_roundtrip(tmp_path):
     """The sweep CSVs feed the display CLIs unchanged (schema contract)."""
     import matplotlib

@@ -27,3 +27,105 @@ def test_pallas_extreme_llrs_no_nan():
     mask = jnp.ones((1, 6), jnp.float32)
     out = check_node_update_pallas(v, synd, mask, block_c=8, interpret=True)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bp_check_phase_qc_parity():
+    """Fused QC check-phase kernel == XLA ops (conv + extrinsic update)."""
+    from qamreconciliation_tpu.ops.pallas_kernels import bp_check_phase_qc
+    from qamreconciliation_tpu.ops.boxplus import phi_llr
+
+    rng = np.random.default_rng(1)
+    nb_c, dc, z, B = 3, 6, 24, 8
+    t = jnp.asarray(rng.normal(0, 3, (nb_c, dc, z, B)), jnp.float32)
+    c2v = jnp.asarray(rng.normal(0, 1, (nb_c, dc, z, B)), jnp.float32)
+    synd = jnp.asarray(rng.integers(0, 2, (nb_c, z, B)), jnp.int32)
+
+    # XLA reference (same math as qc_decoder.qc_check_update)
+    v2c = t - c2v
+    phim = phi_llr(jnp.abs(v2c))
+    mag = phi_llr(jnp.sum(phim, axis=1, keepdims=True) - phim)
+    neg = (v2c < 0).astype(jnp.int32)
+    par = jnp.sum(neg, axis=1, keepdims=True) & 1
+    sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(jnp.float32)
+    pref = (1 - 2 * synd).astype(jnp.float32)[:, None]
+    want = sign * pref * mag
+    parity = jnp.sum((t < 0).astype(jnp.int32), axis=1) & 1
+    conv_want = jnp.all((parity == synd).reshape(-1, B), axis=0)
+
+    got, viol = bp_check_phase_qc(t, c2v, synd, block_z=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(conv_want), np.asarray(jnp.sum(viol, axis=(0, 1)) == 0)
+    )
+
+
+def test_bp_check_phase_generic_parity():
+    from qamreconciliation_tpu.ops.pallas_kernels import bp_check_phase_generic
+
+    rng = np.random.default_rng(2)
+    C, dc, B = 100, 5, 8
+    t = jnp.asarray(rng.normal(0, 3, (C, dc, B)), jnp.float32)
+    c2v = jnp.asarray(rng.normal(0, 1, (C, dc, B)), jnp.float32)
+    synd = jnp.asarray(rng.integers(0, 2, (C, B)), jnp.int32)
+    mask = jnp.asarray(rng.random((C, dc)) < 0.85, jnp.float32)
+
+    want = check_node_update(t - c2v, synd, mask)
+    mask_i = mask.astype(jnp.int32)
+    parity = jnp.sum((t < 0).astype(jnp.int32) * mask_i[:, :, None], 1) & 1
+    conv_want = jnp.all(parity == synd, axis=0)
+
+    got, viol = bp_check_phase_generic(
+        t, c2v, synd, mask, block_c=32, interpret=True  # padding: 100 -> 128
+    )
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(conv_want), np.asarray(jnp.sum(viol, axis=0) == 0)
+    )
+
+
+def test_decoders_pallas_path_match_xla():
+    """Full decodes with use_pallas=True (interpret) == XLA path exactly."""
+    from qamreconciliation_tpu.models.decoder import Decoder
+    from qamreconciliation_tpu.models.matrix import Matrix
+    from qamreconciliation_tpu.models.qc_decoder import QCDecoder, make_qc_ldpc
+
+    rng = np.random.default_rng(3)
+    base, vid, cid = make_qc_ldpc(6, 16, dv=3, dc=6, seed=5)
+    mat = Matrix(vid, cid)
+    B = 5
+    word = rng.integers(0, 2, (B, 96))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 2.5 + rng.normal(0, 1.6, word.shape)
+
+    for mk in (
+        lambda up: Decoder(vid, cid, dtype=jnp.float32, use_pallas=up),
+        lambda up: QCDecoder(base, 16, dtype=jnp.float32, use_pallas=up),
+    ):
+        s0, i0, f0 = mk(False).decode_batch(llr, synd, 25)
+        s1, i1, f1 = mk(True).decode_batch(llr, synd, 25)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(
+            np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_bp_check_phase_bf16_storage_f32_math():
+    """bf16 inputs: kernel computes in f32, stores bf16 (no NaN, close to
+    the f32 result at bf16 resolution)."""
+    from qamreconciliation_tpu.ops.pallas_kernels import bp_check_phase_qc
+
+    rng = np.random.default_rng(4)
+    nb_c, dc, z, B = 2, 6, 16, 8
+    t32 = jnp.asarray(rng.normal(0, 3, (nb_c, dc, z, B)), jnp.float32)
+    c32 = jnp.asarray(rng.normal(0, 1, (nb_c, dc, z, B)), jnp.float32)
+    synd = jnp.asarray(rng.integers(0, 2, (nb_c, z, B)), jnp.int32)
+    out32, _ = bp_check_phase_qc(t32, c32, synd, block_z=8, interpret=True)
+    out16, _ = bp_check_phase_qc(
+        t32.astype(jnp.bfloat16), c32.astype(jnp.bfloat16), synd,
+        block_z=8, interpret=True,
+    )
+    assert out16.dtype == jnp.bfloat16
+    a16 = np.asarray(out16.astype(jnp.float32))
+    assert np.isfinite(a16).all()
+    np.testing.assert_allclose(a16, np.asarray(out32), rtol=0.1, atol=0.15)
