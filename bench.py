@@ -1,23 +1,44 @@
 """Headline benchmark: decoded frames/s, soft reverse reconciliation.
 
-Workload (BASELINE.md north-star): DVB-S2-scale rate-1/2 LDPC (N=64800,
-regular (3,6) Tanner graph), 4-PAM (bps=2) softening reverse reconciliation at
-Es/N0 = 3.5 dB (just below the decoding threshold, mean ~32 BP iterations),
-max 50 decoder iterations — the reference's own measurement protocol
-(reference: sims/sim_reconciliation.py:35-41, maxiter=50).
+Workload (BASELINE.md north-star): DVB-S2-scale rate-1/2 quasi-cyclic LDPC
+(N=64800, (3,6)-regular base graph, z=N/36 circulants — the structure
+DVB-S2-class standards actually use), 4-PAM (bps=2) softening reverse
+reconciliation, max 50 decoder iterations — the reference's own measurement
+protocol (reference: sims/sim_reconciliation.py:35-41, maxiter=50).
 
-Measured head-to-head at run time:
-  * TPU: the batched end-to-end round (sample -> AWGN -> harden -> soften ->
-    syndrome -> LLR -> BP decode -> counters), steady state after warmup.
-  * Baseline: the native single-core scalar flooding decoder
-    (qamreconciliation_tpu/native/graphcore.cpp) on the same LLR/syndrome distribution, decode step
-    only with per-frame early exit — a faithful stand-in for the reference's
-    single-core Cython decoder (Cython is unavailable in this image; the
-    scalar C++ loop is the same algorithm the reference compiles to C).
-    Timing decode-only *understates* the reference's true per-frame cost
-    (which also pays LLR generation), so vs_baseline is conservative.
+Measured on the real chip each run:
+  1. decode-only ms/BP-iteration (all frames at the full 50 iterations) with
+     a model-based achieved-GB/s and fraction of the v5e HBM roofline
+     (~819 GB/s).  The traffic model counts the loop's HBM element accesses
+     per iteration: totals gather (read [V,B] + write [E,B]), fused check
+     phase (read 2x[E,B], write [E,B]), variable scatter (read [E,B], write
+     [V,B]) and prior+total update (2x[V,B]) — (4E + 4V) element accesses at
+     the message width (E = 3V for the (3,6) graph).
+  2. the headline end-to-end round throughput at BENCH_SNR (default 3.5 dB,
+     just below threshold: fer ~= 1, every frame decodes the full 50
+     iterations — the pure decode-throughput regime),
+  3. a second point at BENCH_SNR2 (default 4.0 dB, the waterfall regime:
+     fer < 1) through the SAME compiled round (SNR rides in as an argument),
+     exercising the early-exit/success accounting path.
+  4. Baseline: the native single-core scalar flooding decoder
+     (qamreconciliation_tpu/native/graphcore.cpp) on the same LLR/syndrome
+     distribution, decode step only with per-frame early exit — a faithful
+     stand-in for the reference's single-core Cython decoder (Cython is
+     unavailable in this image; the scalar C++ loop is the same algorithm
+     the reference compiles to C).  Timing decode-only *understates* the
+     reference's true per-frame cost (which also pays LLR generation), so
+     vs_baseline is conservative.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Messages default to bfloat16 storage with f32 check-node math (BER/FER
+statistically equivalent to f32 at threshold SNRs — tests + the waterfall
+point below keep this honest); BENCH_DTYPE=float32 restores full-width.
+
+Knobs: BENCH_N, BENCH_BATCH, BENCH_SNR, BENCH_SNR2, BENCH_MAXITER,
+BENCH_ROUNDS, BENCH_DTYPE, BENCH_QC=0 (generic gather decoder instead of
+QC), BENCH_BPS (4 -> 16-PAM), BENCH_MODE (softening|hard|direct),
+BENCH_SKIP_DECODE=1 / BENCH_SKIP_WATERFALL=1 (trim steps), BENCH_BASELINE_S.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -27,12 +48,24 @@ import time
 
 N_CODE = int(os.environ.get("BENCH_N", 64800))
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
-USE_QC = os.environ.get("BENCH_QC", "0") == "1"   # QC code + roll decoder: 486 fps steady but its round can take ~9 min to compile through the tunnel — opt-in to keep the driver bench reliable
+USE_QC = os.environ.get("BENCH_QC", "1") == "1"
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.5))
+SNR2_DB = float(os.environ.get("BENCH_SNR2", 4.0))
 MAX_ITER = int(os.environ.get("BENCH_MAXITER", 50))
 TIMED_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 8))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+BPS = int(os.environ.get("BENCH_BPS", 2))
+MODE = os.environ.get("BENCH_MODE", "softening")
+SKIP_DECODE = os.environ.get("BENCH_SKIP_DECODE", "0") == "1"
+# fused Pallas check phase: "auto" (on for TPU), "1" force on, "0" force off
+# (escape hatch: the Pallas QC program's remote compile is slower, ~5-15 min)
+PALLAS = {"auto": None, "0": False, "1": True}[
+    os.environ.get("BENCH_PALLAS", "auto")
+]
+SKIP_WATERFALL = os.environ.get("BENCH_SKIP_WATERFALL", "0") == "1"
 BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_S", 30.0))
 BASELINE_MIN_FRAMES = 3
+HBM_GBPS = 819.0  # v5e HBM roofline
 
 # Fallback, only used if the native baseline cannot build: single-core scalar
 # flooding BP at N=64800/maxiter=50 measured on this image's CPU on
@@ -56,11 +89,10 @@ def main():
     from qamreconciliation_tpu.sims.engine import ReconciliationEngine
     from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc
 
-    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    log(f"backend={jax.default_backend()} devices={jax.devices()} "
+        f"dtype={DTYPE} qc={USE_QC} bps={BPS} mode={MODE}")
+    dt = jnp.dtype(DTYPE)
     if USE_QC:
-        # quasi-cyclic rate-1/2 (3,6) code — the structure DVB-S2-class
-        # standards actually use; the QC decoder replaces the BP loop's
-        # gathers with circulant rolls
         from qamreconciliation_tpu.models.qc_decoder import (
             QCDecoder, make_qc_ldpc,
         )
@@ -71,52 +103,117 @@ def main():
             )
         z = N_CODE // 36
         base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
-        dec = QCDecoder(base, z)
-        log(f"code: QC (3,6) z={z}, N={dec.vnum}")
+        dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS)
+        code = f"qc(3,6) z={z} N={dec.vnum}"
     else:
         vid, cid = make_regular_ldpc(N_CODE, dv=3, dc=6, seed=12345)
-        dec = Decoder(vid, cid)
+        dec = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS)
+        code = f"regular(3,6) N={dec.vnum}"
     mat = Matrix(vid, cid)
-    pa = PAMAlphabet(2, 2.0)
-    eng = ReconciliationEngine(dec, mat, pa, batch=BATCH)
+    pa = PAMAlphabet(BPS, 2.0)
+    eng = ReconciliationEngine(dec, mat, pa, batch=BATCH, dtype=dt)
 
-    Es = pa.variance
-    N0 = Es * (10.0 ** (-SNR_DB / 10.0)) / 2.0
-    nm = NoiseMapper(pa, N0)
+    extras = {"code": code, "dtype": DTYPE, "bps": BPS, "mode": MODE,
+              "batch": BATCH, "maxiter": MAX_ITER}
 
-    # ---- TPU steady-state (through the product path: engine.run_point,
-    # which double-buffers rounds) -----------------------------------------
+    # ---- 1. decode-only roofline probe ------------------------------------
+    if not SKIP_DECODE:
+        rng = np.random.default_rng(0)
+        lappr = jnp.asarray(rng.normal(0, 3.0, (N_CODE, BATCH)), dt)
+        synd = jnp.asarray(
+            rng.integers(0, 2, (mat.cnum, BATCH)), jnp.int32
+        )  # random syndrome: hopeless -> exactly MAX_ITER iterations
+        f = dec._build_decode()
+        dec._decode_jit = f
+        t0 = time.perf_counter()
+        out = f(lappr, synd, jnp.int32(MAX_ITER))
+        np.asarray(out[1])  # host transfer: the only true sync this backend
+        log(f"decode-only compile+first: {time.perf_counter() - t0:.1f}s")
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(lappr, synd, jnp.int32(MAX_ITER))
+            np.asarray(out[1])
+        ms_iter = (time.perf_counter() - t0) / reps / MAX_ITER * 1e3
+        E = len(vid)
+        bytes_iter = (4 * E + 4 * N_CODE) * BATCH * dt.itemsize
+        gbps = bytes_iter / (ms_iter * 1e-3) / 1e9
+        extras.update({
+            "decode_ms_per_iter": round(ms_iter, 3),
+            "decode_frames_per_s": round(
+                BATCH / (ms_iter * MAX_ITER) * 1e3, 1
+            ),
+            "achieved_GBps": round(gbps, 1),
+            "roofline_fraction": round(gbps / HBM_GBPS, 3),
+        })
+        log(f"decode-only: {ms_iter:.3f} ms/iter, "
+            f"{extras['decode_frames_per_s']} fps, {gbps:.0f} GB/s "
+            f"({100 * gbps / HBM_GBPS:.0f}% of roofline)")
+
+    # ---- 2. headline end-to-end round (decode-bound regime) ---------------
     nmcfg = np.zeros(pa.order, np.uint8)
+    kw = dict(nmconfig=nmcfg) if MODE == "softening" else {}
+    if MODE == "softening":
+        # host cost of the (n, j)->LLR table build (K*M^3 — the SURVEY §7
+        # named risk at bps=4); the engine rebuilds the same tables per point
+        Es = pa.variance
+        t0 = time.perf_counter()
+        nm_probe = NoiseMapper(
+            pa, Es * (10.0 ** (-SNR_DB / 10.0)) / 2.0, nmcfg, dtype=dt
+        )
+        nm_probe._ensure_llr_tab()
+        extras["llr_table_build_s"] = round(time.perf_counter() - t0, 2)
+        log(f"host LLR-table build (M={pa.order}): "
+            f"{extras['llr_table_build_s']}s")
+        del nm_probe
     t0 = time.perf_counter()
-    eng.run_point("softening", SNR_DB, MAX_ITER, BATCH, 10 ** 9,
-                  nmconfig=nmcfg, seed=0)
-    log(f"warmup (compile + 1 round): {time.perf_counter() - t0:.1f}s")
+    eng.run_point(MODE, SNR_DB, MAX_ITER, BATCH, 10 ** 9, seed=0, **kw)
+    log(f"round warmup (compile + 1 round): {time.perf_counter() - t0:.1f}s")
 
-    r = eng.run_point("softening", SNR_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
-                      10 ** 9, nmconfig=nmcfg, seed=1)
+    r = eng.run_point(MODE, SNR_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
+                      10 ** 9, seed=1, **kw)
     tpu_fps = r.frames_per_s
-    log(f"tpu: {r.frames} frames -> {tpu_fps:.1f} frames/s "
-        f"(fer={r.fer:.3f})")
+    log(f"tpu @ {SNR_DB} dB: {r.frames} frames -> {tpu_fps:.1f} frames/s "
+        f"(fer={r.fer:.3f} iters={r.iters:.1f})")
+    extras["snr_dB"] = SNR_DB
+    extras["fer"] = round(r.fer, 4)
+    extras["mean_iters"] = round(r.iters, 2)
 
-    # ---- native single-core baseline --------------------------------------
+    # ---- 3. waterfall-regime point (same compiled round, new SNR arg) -----
+    if not SKIP_WATERFALL:
+        r2 = eng.run_point(MODE, SNR2_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
+                           10 ** 9, seed=2, **kw)
+        log(f"tpu @ {SNR2_DB} dB (waterfall): {r2.frames} frames -> "
+            f"{r2.frames_per_s:.1f} frames/s (ber={r2.ber:.2e} "
+            f"fer={r2.fer:.3f} iters={r2.iters:.1f})")
+        extras["waterfall"] = {
+            "snr_dB": SNR2_DB, "ber": float(f"{r2.ber:.3e}"),
+            "fer": round(r2.fer, 4), "mean_iters": round(r2.iters, 2),
+            "frames_per_s": round(r2.frames_per_s, 1),
+        }
+
+    # ---- 4. native single-core baseline -----------------------------------
     baseline_fps = None
     try:
         from qamreconciliation_tpu._graphcore import ScalarDecoder
-        from qamreconciliation_tpu.utils.reference_np import softening_frames_np
+        from qamreconciliation_tpu.utils.reference_np import (
+            softening_frames_np,
+        )
 
-        # Same input distribution, generated by the float64 numpy oracle on
-        # the host (no extra TPU program to compile).
+        Es = pa.variance
+        N0 = Es * (10.0 ** (-SNR_DB / 10.0)) / 2.0
+        nm64 = NoiseMapper(pa, N0)
         n_base = min(BATCH, 32)
         lappr_h, word_h = softening_frames_np(
-            nm, pa, n_base, eng.N_symb, seed=999
+            nm64, pa, n_base, eng.N_symb, seed=999
         )
 
         sd = ScalarDecoder(vid, cid)
         synd_h = np.stack([sd.eval_syndrome(w) for w in word_h])
         done = 0
         t0 = time.perf_counter()
-        for f in range(n_base):
-            sd.decode(lappr_h[f], synd_h[f], MAX_ITER)
+        for fi in range(n_base):
+            sd.decode(lappr_h[fi], synd_h[fi], MAX_ITER)
             done += 1
             el = time.perf_counter() - t0
             if el > BASELINE_BUDGET_S and done >= BASELINE_MIN_FRAMES:
@@ -131,10 +228,11 @@ def main():
         baseline_fps = FALLBACK_BASELINE_FPS
 
     print(json.dumps({
-        "metric": "softening_decoded_frames_per_s",
+        "metric": f"{MODE}_decoded_frames_per_s",
         "value": round(tpu_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(tpu_fps / baseline_fps, 1),
+        **extras,
     }))
 
 

@@ -73,20 +73,24 @@ def _kernel(v2c_ref, synd_ref, mask_ref, out_ref, *, tiny):
 
 def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
                         tiny, dc_axis):
-    t = t_ref[:]
-    compute = jnp.float32 if t.dtype == jnp.bfloat16 else t.dtype
+    out_dtype = t_ref.dtype
+    compute = jnp.float32 if out_dtype == jnp.bfloat16 else out_dtype
+    # upcast ONCE at load: Mosaic rejects bf16 vector compares ("target does
+    # not support this comparison"), and the phi math wants f32 anyway
+    t = t_ref[:].astype(compute)
     synd = synd_ref[:].astype(jnp.int32)
 
-    # 1. convergence partials: parity of hard decisions vs syndrome block
+    # 1. convergence partials: parity of hard decisions vs syndrome block.
+    # The per-grid-cell count is written replicated over 8 sublanes (TPU
+    # blocks need sublane-divisible shapes); consumers read sublane 0.
     neg_t = (t < 0).astype(jnp.int32)
     parity = jnp.sum(neg_t, axis=dc_axis) & 1                # synd-shaped
     viol = (parity != synd).astype(jnp.int32)
-    viol_ref[0, 0, :] = jnp.sum(
-        viol.reshape(-1, viol.shape[-1]), axis=0
-    )
+    count = jnp.sum(viol.reshape(-1, viol.shape[-1]), axis=0)
+    viol_ref[0, 0] = jnp.broadcast_to(count[None, :], (8, count.shape[0]))
 
     # 2./3. extrinsic check update in f32
-    v2c = t.astype(compute) - c2v_ref[:].astype(compute)
+    v2c = t - c2v_ref[:].astype(compute)
     phim = phi_llr(jnp.abs(v2c), tiny)
     s_phi = jnp.sum(phim, axis=dc_axis, keepdims=True)
     mag = phi_llr(s_phi - phim, tiny)
@@ -94,7 +98,7 @@ def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
     par = jnp.sum(neg, axis=dc_axis, keepdims=True) & 1
     sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(compute)
     pref = jnp.expand_dims((1 - 2 * synd).astype(compute), dc_axis)
-    out_ref[:] = (sign * pref * mag).astype(t.dtype)
+    out_ref[:] = (sign * pref * mag).astype(out_dtype)
 
 
 def _pick_zb(z: int, cap: int = 384) -> int:
@@ -115,9 +119,10 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
       c2v:  [nb_c, dc, z, B] previous check->var messages.
       synd: [nb_c, z, B] syndrome bits (0/1 int).
 
-    Returns ``(c2v_new [nb_c, dc, z, B], viol [nb_c, nzb, B] int32)`` where
-    ``viol`` holds per-(check-block, z-chunk) violation counts:
-    ``viol.sum((0, 1)) == 0`` is the per-frame convergence mask.
+    Returns ``(c2v_new [nb_c, dc, z, B], viol [nb_c, nzb, 8, B] int32)``
+    where ``viol[..., 0, :]`` holds per-(check-block, z-chunk) violation
+    counts (replicated over the 8-sublane axis for TPU block alignment):
+    ``viol[:, :, 0].sum((0, 1)) == 0`` is the per-frame convergence mask.
     Semantics match models/qc_decoder.qc_check_update + consistent()
     (reference: qamreconciliation/decoder.pyx:322-369, 251-257).
     """
@@ -131,7 +136,7 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
         functools.partial(_check_phase_kernel, tiny=tiny, dc_axis=1),
         out_shape=(
             jax.ShapeDtypeStruct((nb_c, dc, z, B), t.dtype),
-            jax.ShapeDtypeStruct((nb_c, nzb, B), jnp.int32),
+            jax.ShapeDtypeStruct((nb_c, nzb, 8, B), jnp.int32),
         ),
         grid=grid,
         in_specs=[
@@ -145,12 +150,12 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
         out_specs=(
             pl.BlockSpec((1, dc, ZB, B), lambda i, j: (i, 0, j, 0),
                          memory_space=_VMEM),
-            pl.BlockSpec((1, 1, B), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 1, 8, B), lambda i, j: (i, j, 0, 0),
                          memory_space=_VMEM),
         ),
         interpret=interpret,
     )(t, c2v, synd.astype(jnp.int32))
-    return out, viol
+    return out, viol[:, :, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_c", "interpret"))
@@ -159,7 +164,8 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
     """Fused check phase for the generic decoder's [C, dc, B] layout.
 
     Same fusion as :func:`bp_check_phase_qc` with padded-slot masking.
-    Returns ``(c2v_new [C, dc, B], viol [nblocks, 1, B] int32)``.
+    Returns ``(c2v_new [C, dc, B], viol [nblocks, B] int32)`` with
+    per-check-block violation counts (``viol.sum(0) == 0`` = convergence).
     """
     C, dc, B = t.shape
     CB = min(block_c, C)
@@ -180,8 +186,10 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
 
     def kernel(t_ref, c2v_ref, synd_ref, mask_ref, out_ref, viol_ref, *,
                tiny=tiny):
-        t_k = t_ref[:]
-        compute = jnp.float32 if t_k.dtype == jnp.bfloat16 else t_k.dtype
+        out_dtype = t_ref.dtype
+        compute = jnp.float32 if out_dtype == jnp.bfloat16 else out_dtype
+        # upcast once at load (Mosaic rejects bf16 vector compares)
+        t_k = t_ref[:].astype(compute)
         mask = mask_ref[:].astype(compute)[:, :, None]
         synd_k = synd_ref[:].astype(jnp.int32)
 
@@ -189,9 +197,11 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
                  * mask.astype(jnp.int32))
         parity = jnp.sum(neg_t, axis=1) & 1
         viol = (parity != synd_k).astype(jnp.int32)
-        viol_ref[0, :] = jnp.sum(viol, axis=0)
+        count = jnp.sum(viol, axis=0)
+        # replicated over 8 sublanes for TPU block alignment (see QC kernel)
+        viol_ref[0] = jnp.broadcast_to(count[None, :], (8, count.shape[0]))
 
-        v2c = (t_k.astype(compute) - c2v_ref[:].astype(compute))
+        v2c = t_k - c2v_ref[:].astype(compute)
         phim = phi_llr(jnp.abs(v2c), tiny) * mask
         s_phi = jnp.sum(phim, axis=1, keepdims=True)
         mag = phi_llr(s_phi - phim, tiny)
@@ -199,13 +209,13 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
         par = jnp.sum(neg, axis=1, keepdims=True) & 1
         sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(compute)
         pref = (1 - 2 * synd_k).astype(compute)[:, None, :]
-        out_ref[:] = (sign * pref * mag * mask).astype(t_k.dtype)
+        out_ref[:] = (sign * pref * mag * mask).astype(out_dtype)
 
     out, viol = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((C_pad, dc, B), t.dtype),
-            jax.ShapeDtypeStruct((nblocks, B), jnp.int32),
+            jax.ShapeDtypeStruct((nblocks, 8, B), jnp.int32),
         ),
         grid=(nblocks,),
         in_specs=[
@@ -219,13 +229,14 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
         out_specs=(
             pl.BlockSpec((CB, dc, B), lambda i: (i, 0, 0),
                          memory_space=_VMEM),
-            pl.BlockSpec((1, B), lambda i: (i, 0), memory_space=_VMEM),
+            pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
+                         memory_space=_VMEM),
         ),
         interpret=interpret,
     )(t, c2v, synd.astype(jnp.int32), c_mask)
     # padded rows are all-zero (t=0, synd=0 -> parity==synd), so they never
     # contribute violations; only the message rows need trimming
-    return out[:C], viol
+    return out[:C], viol[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_c", "interpret"))
