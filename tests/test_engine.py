@@ -120,3 +120,30 @@ def test_table_vs_interp_llr_mode_statistical_equivalence():
         bers[mode] = r.ber
         assert 0.0 < r.ber < 0.2
     assert abs(bers["table"] - bers["interp"]) < 0.03
+
+
+def test_bfloat16_error_counters_exact():
+    """Bit-error counters are exact int32 XOR counts even in bfloat16: a
+    frame with K >> 256 wrong bits must report exactly K errors (a bf16
+    float accumulator silently rounds above ~256 — the bug class this
+    guards against)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from qamreconciliation_tpu import Decoder, Matrix, PAMAlphabet
+    from qamreconciliation_tpu.sims.engine import ReconciliationEngine
+    from qamreconciliation_tpu.utils import make_regular_ldpc
+
+    vid, cid = make_regular_ldpc(2048, 3, 6, seed=21)
+    dec = Decoder(vid, cid, dtype=jnp.bfloat16)
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    eng = ReconciliationEngine(dec, mat, pa, batch=4, dtype=jnp.bfloat16)
+
+    B, K = 4, eng.K
+    # final LLRs all strongly positive -> decided bits all 0; word all 1s
+    # over the K info bits -> exactly K errors per frame (K = 1024 > 256)
+    lappr = jnp.full((2048, B), 8.0, jnp.bfloat16)
+    word = jnp.ones((2048, B), jnp.int32)
+    errs, ferrs, _, _ = eng._decode_and_count_nb(lappr, word, jnp.int32(0))
+    assert int(errs) == B * K, (int(errs), B * K)
+    assert int(ferrs) == B
