@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DEFAULT_DTYPE, INDEX_DTYPE
-from ..ops.boxplus import check_node_update, var_node_update, box_plus
+from ..ops.boxplus import check_node_update_sm, box_plus
 
 __all__ = ["TannerGraph", "Decoder"]
 
@@ -118,6 +118,35 @@ class TannerGraph:
         self._v_mask_np = v_mask.reshape(self.vnum, self.dv_max)
         self._c_mask_np = c_mask.reshape(self.cnum, self.dc_max)
 
+        # Slot-major ("transposed") layouts: [dc_max, C] / [dv_max, V].
+        # TPU tiles the two MINORMOST dims of every array — a [C, dc, B]
+        # message block therefore pads dc=6 sublanes up to 8 (f32) or 16
+        # (bf16), i.e. 1.33-2.67x pure HBM padding waste per message array
+        # (and 2.67-5.33x for [V, dv=3, B] var-major blocks).  Keeping the
+        # node axis and the frame batch minor — [dc, C, B] — makes every
+        # message array fully tiled; the decode hot loop (see
+        # Decoder._build_decode) runs entirely in this layout.
+        self._c_vids_T = jnp.asarray(
+            np.ascontiguousarray(c_vids.reshape(self.cnum, self.dc_max).T),
+            INDEX_DTYPE,
+        )
+        # flat check-major slot c*dc_max + d  ->  slot-major flat d*C + c
+        v_from_c_T = (
+            (v_from_c % self.dc_max) * self.cnum + v_from_c // self.dc_max
+        )
+        self._v_from_c_T = jnp.asarray(
+            np.ascontiguousarray(
+                v_from_c_T.reshape(self.vnum, self.dv_max).T
+            ),
+            INDEX_DTYPE,
+        )
+        self._c_mask_T_np = np.ascontiguousarray(
+            c_mask.reshape(self.cnum, self.dc_max).T
+        )
+        self._v_mask_T_np = np.ascontiguousarray(
+            v_mask.reshape(self.vnum, self.dv_max).T
+        )
+
     def _masks(self, dtype_name: str):
         """Device mask pair for a dtype.
 
@@ -149,12 +178,12 @@ class TannerGraph:
 
         bits: [V, B] int32 (0/1) -> [C, B] int32.  Gather + masked popcount
         replaces the reference's XOR scatter over edges
-        (reference: qamreconciliation/matrix.pyx:55-60).
+        (reference: qamreconciliation/matrix.pyx:55-60).  Slot-major
+        [dc_max, C, B] gather: (C, B) stay the minormost (tiled) dims.
         """
-        mask = jnp.asarray(self._c_mask_np, jnp.int32).reshape(-1)[:, None]
-        gathered = bits[self._c_vids] * mask          # [C*dc_max, B]
-        sums = gathered.reshape(self.cnum, self.dc_max, -1).sum(axis=1)
-        return sums & 1
+        mask = jnp.asarray(self._c_mask_T_np, jnp.int32)[:, :, None]
+        gathered = bits[self._c_vids_T] * mask        # [dc_max, C, B]
+        return gathered.sum(axis=0) & 1
 
     def lappr_consistent(self, total, synd):
         """Per-frame syndrome test of hard decisions from LLRs.
@@ -178,7 +207,12 @@ class Decoder:
         self.graph = TannerGraph(e_to_v, e_to_c)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_generic)
-        # None = auto (on for the TPU backend, off elsewhere)
+        # None = auto, which resolves to OFF everywhere: in the slot-major
+        # [dc, C, B] layout XLA's own fusion of the check phase measures
+        # faster than the hand kernel on v5e (2.152 vs 2.601 ms/iter bf16,
+        # 2.557 vs 2.907 f32 at N=64800/B=128); the kernel stays available
+        # for A/B runs.  (The QC decoder's fused kernel is the opposite
+        # case and stays default-on there.)
         self.use_pallas = use_pallas
         self._decode_jit = None
 
@@ -203,7 +237,7 @@ class Decoder:
         dtype = self.dtype
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = False
         interpret = jax.default_backend() != "tpu"
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
@@ -215,36 +249,41 @@ class Decoder:
             var-major extrinsics, since total - c2v is formed from the same
             float pairs), and the syndrome convergence test reuses the same
             gathered totals instead of re-gathering hard bits.
+
+            All message arrays are SLOT-MAJOR — [dc, C, B] / [dv, V, B] —
+            so the two minormost (tiled) dims are always (nodes, frames);
+            the node-major [C, dc, B] form pads dc up to the sublane tile
+            (8 f32 / 16 bf16), a measured 1.3-2.7x HBM traffic tax on the
+            whole loop.
             """
             # created per trace (never cached): safe under nested jit
-            v_mask, c_mask = g._masks(str(dtype))
+            v_mask_T = jnp.asarray(g._v_mask_T_np, dtype)      # [dv, V]
+            c_mask_T = jnp.asarray(g._c_mask_T_np, dtype)      # [dc, C]
+            c_mask_T_i = jnp.asarray(g._c_mask_T_np, jnp.int32)
             synd_cb = synd_cb.astype(jnp.int32)
             B = prior_vb.shape[1]
             prior_vb = prior_vb.astype(dtype)
-            c_mask_i = jnp.asarray(g._c_mask_np, jnp.int32).reshape(
-                g.cnum, g.dc_max
-            )
 
-            def consistent_from_gather(t_c):
-                """Per-frame syndrome test from gathered totals t_c [C, dc, B]."""
-                bits = (t_c < 0).astype(jnp.int32) * c_mask_i[:, :, None]
-                parity = jnp.sum(bits, axis=1) & 1
+            def consistent_from_gather(t_d):
+                """Per-frame syndrome test from gathered totals t_d [dc, C, B]."""
+                bits = (t_d < 0).astype(jnp.int32) * c_mask_T_i[:, :, None]
+                parity = jnp.sum(bits, axis=0) & 1
                 return jnp.all(parity == synd_cb, axis=0)
 
             def gather_totals(total):
-                return total[g._c_vids].reshape(g.cnum, g.dc_max, B)
+                return total[g._c_vids_T]                # [dc, C, B]
 
-            def check_phase(t_c, c2v_c):
+            def check_phase(t_d, c2v_d):
                 """(conv [B], c2v_new) — fused Pallas kernel or XLA ops."""
                 if use_pallas:
                     from ..ops.pallas_kernels import bp_check_phase_generic
 
                     c2v_new, viol = bp_check_phase_generic(
-                        t_c, c2v_c, synd_cb, c_mask, interpret=interpret
+                        t_d, c2v_d, synd_cb, c_mask_T, interpret=interpret
                     )
                     return jnp.sum(viol, axis=0) == 0, c2v_new
-                conv = consistent_from_gather(t_c)
-                c2v_new = check_node_update(t_c - c2v_c, synd_cb, c_mask)
+                conv = consistent_from_gather(t_d)
+                c2v_new = check_node_update_sm(t_d - c2v_d, synd_cb, c_mask_T)
                 return conv, c2v_new
 
             def cond(state):
@@ -252,12 +291,12 @@ class Decoder:
                 return jnp.logical_and(it < max_iterations, ~jnp.all(done))
 
             def body(state):
-                it, c2v_c, total, final, done, iters = state
-                t_c = gather_totals(total)                     # gather 1
+                it, c2v_d, total, final, done, iters = state
+                t_d = gather_totals(total)                     # gather 1
                 # convergence of the CURRENT totals (after iteration `it`):
                 # at it=0 this is the reference's pre-check of the priors
                 # (reference: qamreconciliation/decoder.pyx:402-405).
-                conv, c2v_new = check_phase(t_c, c2v_c)
+                conv, c2v_new = check_phase(t_d, c2v_d)
                 newly = jnp.logical_and(conv, ~done)
                 iters_new = jnp.where(newly, it, iters)
                 done_new = jnp.logical_or(done, conv)
@@ -277,15 +316,18 @@ class Decoder:
                     final,
                 )
 
-                c2v_v = g.permute_c_to_v(c2v_new.reshape(-1, B))  # gather 2
-                total_new, _ = var_node_update(prior_vb, c2v_v, v_mask)
+                # gather 2: slot-major check flat [dc*C, B] -> [dv, V, B]
+                c2v_v = c2v_new.reshape(-1, B)[g._v_from_c_T]
+                total_new = prior_vb + jnp.sum(
+                    c2v_v * v_mask_T[:, :, None], axis=0
+                )
                 return (
                     it + 1, c2v_new, total_new, final_new, done_new, iters_new
                 )
 
             init = (
                 jnp.int32(0),
-                jnp.zeros((g.cnum, g.dc_max, B), dtype),
+                jnp.zeros((g.dc_max, g.cnum, B), dtype),
                 prior_vb,
                 prior_vb,
                 jnp.zeros(B, bool),

@@ -20,7 +20,13 @@ check-node tests (reference: test/test_decoder.py:189-220).
 
 import jax.numpy as jnp
 
-__all__ = ["box_plus", "phi_llr", "check_node_update", "var_node_update"]
+__all__ = [
+    "box_plus",
+    "phi_llr",
+    "check_node_update",
+    "check_node_update_sm",
+    "var_node_update",
+]
 
 
 def box_plus(a, b):
@@ -91,6 +97,33 @@ def check_node_update(v2c_c, synd, c_mask, tiny: float = 1e-30):
     sign = (1 - 2 * ext_neg).astype(v2c_c.dtype)
 
     pref = (1 - 2 * synd.astype(jnp.int32)).astype(v2c_c.dtype)[:, None, :]
+    return (sign * pref * mag * mask).astype(out_dtype)
+
+
+def check_node_update_sm(v2c_d, synd, c_mask_T, tiny: float = 1e-30):
+    """Slot-major check-node update: the degree axis LEADS.
+
+    Same math as :func:`check_node_update` with layout [dc_max, C, B]
+    (mask [dc_max, C]) — the decode hot loop's native layout, chosen so the
+    two minormost (TPU-tiled) dims are (checks, frames) with no sublane
+    padding (see models/decoder.py TannerGraph).  Semantics per
+    reference: qamreconciliation/decoder.pyx:322-369.
+    """
+    out_dtype = v2c_d.dtype
+    if out_dtype == jnp.bfloat16:
+        v2c_d = v2c_d.astype(jnp.float32)
+        c_mask_T = c_mask_T.astype(jnp.float32)
+    mask = c_mask_T[:, :, None]
+    phim = phi_llr(jnp.abs(v2c_d), tiny) * mask
+    s_phi = jnp.sum(phim, axis=0, keepdims=True)
+    mag = phi_llr(s_phi - phim, tiny)
+
+    neg = jnp.logical_and(v2c_d < 0, mask > 0)
+    parity = jnp.sum(neg.astype(jnp.int32), axis=0, keepdims=True) & 1
+    sign = (1 - 2 * jnp.bitwise_xor(parity, neg.astype(jnp.int32))).astype(
+        v2c_d.dtype
+    )
+    pref = (1 - 2 * synd.astype(jnp.int32)).astype(v2c_d.dtype)[None, :, :]
     return (sign * pref * mag * mask).astype(out_dtype)
 
 

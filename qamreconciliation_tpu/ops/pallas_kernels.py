@@ -161,26 +161,42 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
 @functools.partial(jax.jit, static_argnames=("block_c", "interpret"))
 def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
                            block_c: int = 256, interpret: bool = False):
-    """Fused check phase for the generic decoder's [C, dc, B] layout.
+    """Fused check phase for the generic decoder's SLOT-MAJOR [dc, C, B]
+    layout (degree axis leading, so the TPU-tiled minormost dims are
+    (checks, frames) with no sublane padding — see models/decoder.py).
+
+    Args:
+      t:      [dc, C, B] gathered variable totals.
+      c2v:    [dc, C, B] previous check->var messages.
+      synd:   [C, B] syndrome bits (0/1 int).
+      c_mask: [dc, C] 1.0 real slot / 0.0 padding.
 
     Same fusion as :func:`bp_check_phase_qc` with padded-slot masking.
-    Returns ``(c2v_new [C, dc, B], viol [nblocks, B] int32)`` with
+    Returns ``(c2v_new [dc, C, B], viol [nblocks, B] int32)`` with
     per-check-block violation counts (``viol.sum(0) == 0`` = convergence).
+    Semantics: ops.boxplus.check_node_update_sm + consistency test
+    (reference: qamreconciliation/decoder.pyx:322-369, 251-257).
     """
-    C, dc, B = t.shape
-    CB = min(block_c, C)
+    dc, C, B = t.shape
+    # Scoped VMEM is ~16 MB; the kernel keeps ~14 [dc, CB, B] float32
+    # temporaries live (f32 compute even for bf16 storage).  Cap CB so the
+    # stack fits with headroom (measured: CB=512, dc=6, B=128 OOMs at
+    # 20.06M vs the 16M limit on v5e).
+    vmem_budget = 12 * 2**20
+    cb_cap = max(8, vmem_budget // (14 * dc * B * 4))
+    CB = min(block_c, C, cb_cap)
     C_pad = ((C + CB - 1) // CB) * CB
     if C_pad != C:
         pad = C_pad - C
-        t = jnp.concatenate([t, jnp.zeros((pad, dc, B), t.dtype)], axis=0)
+        t = jnp.concatenate([t, jnp.zeros((dc, pad, B), t.dtype)], axis=1)
         c2v = jnp.concatenate(
-            [c2v, jnp.zeros((pad, dc, B), c2v.dtype)], axis=0
+            [c2v, jnp.zeros((dc, pad, B), c2v.dtype)], axis=1
         )
         synd = jnp.concatenate(
             [synd.astype(jnp.int32), jnp.zeros((pad, B), jnp.int32)], axis=0
         )
         c_mask = jnp.concatenate(
-            [c_mask, jnp.zeros((pad, dc), c_mask.dtype)], axis=0
+            [c_mask, jnp.zeros((dc, pad), c_mask.dtype)], axis=1
         )
     nblocks = C_pad // CB
 
@@ -190,12 +206,11 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
         compute = jnp.float32 if out_dtype == jnp.bfloat16 else out_dtype
         # upcast once at load (Mosaic rejects bf16 vector compares)
         t_k = t_ref[:].astype(compute)
-        mask = mask_ref[:].astype(compute)[:, :, None]
-        synd_k = synd_ref[:].astype(jnp.int32)
+        mask = mask_ref[:].astype(compute)[:, :, None]      # [dc, CB, 1]
+        synd_k = synd_ref[:].astype(jnp.int32)              # [CB, B]
 
-        neg_t = ((t_k < 0).astype(jnp.int32)
-                 * mask.astype(jnp.int32))
-        parity = jnp.sum(neg_t, axis=1) & 1
+        neg_t = (t_k < 0).astype(jnp.int32) * mask.astype(jnp.int32)
+        parity = jnp.sum(neg_t, axis=0) & 1
         viol = (parity != synd_k).astype(jnp.int32)
         count = jnp.sum(viol, axis=0)
         # replicated over 8 sublanes for TPU block alignment (see QC kernel)
@@ -203,31 +218,31 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
 
         v2c = t_k - c2v_ref[:].astype(compute)
         phim = phi_llr(jnp.abs(v2c), tiny) * mask
-        s_phi = jnp.sum(phim, axis=1, keepdims=True)
+        s_phi = jnp.sum(phim, axis=0, keepdims=True)
         mag = phi_llr(s_phi - phim, tiny)
         neg = jnp.logical_and(v2c < 0, mask > 0).astype(jnp.int32)
-        par = jnp.sum(neg, axis=1, keepdims=True) & 1
+        par = jnp.sum(neg, axis=0, keepdims=True) & 1
         sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(compute)
-        pref = (1 - 2 * synd_k).astype(compute)[:, None, :]
+        pref = (1 - 2 * synd_k).astype(compute)[None, :, :]
         out_ref[:] = (sign * pref * mag * mask).astype(out_dtype)
 
     out, viol = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((C_pad, dc, B), t.dtype),
+            jax.ShapeDtypeStruct((dc, C_pad, B), t.dtype),
             jax.ShapeDtypeStruct((nblocks, 8, B), jnp.int32),
         ),
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((CB, dc, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((dc, CB, B), lambda i: (0, i, 0),
                          memory_space=_VMEM),
-            pl.BlockSpec((CB, dc, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((dc, CB, B), lambda i: (0, i, 0),
                          memory_space=_VMEM),
             pl.BlockSpec((CB, B), lambda i: (i, 0), memory_space=_VMEM),
-            pl.BlockSpec((CB, dc), lambda i: (i, 0), memory_space=_VMEM),
+            pl.BlockSpec((dc, CB), lambda i: (0, i), memory_space=_VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CB, dc, B), lambda i: (i, 0, 0),
+            pl.BlockSpec((dc, CB, B), lambda i: (0, i, 0),
                          memory_space=_VMEM),
             pl.BlockSpec((1, 8, B), lambda i: (i, 0, 0),
                          memory_space=_VMEM),
@@ -236,7 +251,7 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
     )(t, c2v, synd.astype(jnp.int32), c_mask)
     # padded rows are all-zero (t=0, synd=0 -> parity==synd), so they never
     # contribute violations; only the message rows need trimming
-    return out[:C], viol[:, 0, :]
+    return out[:, :C], viol[:, 0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("block_c", "interpret"))

@@ -60,18 +60,31 @@ def test_bp_check_phase_qc_parity():
 
 
 def test_bp_check_phase_generic_parity():
+    """Slot-major [dc, C, B] fused kernel == the node-major XLA reference
+    (check_node_update) transposed, plus check_node_update_sm directly."""
+    from qamreconciliation_tpu.ops.boxplus import check_node_update_sm
     from qamreconciliation_tpu.ops.pallas_kernels import bp_check_phase_generic
 
     rng = np.random.default_rng(2)
     C, dc, B = 100, 5, 8
-    t = jnp.asarray(rng.normal(0, 3, (C, dc, B)), jnp.float32)
-    c2v = jnp.asarray(rng.normal(0, 1, (C, dc, B)), jnp.float32)
+    t = jnp.asarray(rng.normal(0, 3, (dc, C, B)), jnp.float32)
+    c2v = jnp.asarray(rng.normal(0, 1, (dc, C, B)), jnp.float32)
     synd = jnp.asarray(rng.integers(0, 2, (C, B)), jnp.int32)
-    mask = jnp.asarray(rng.random((C, dc)) < 0.85, jnp.float32)
+    mask = jnp.asarray(rng.random((dc, C)) < 0.85, jnp.float32)
 
-    want = check_node_update(t - c2v, synd, mask)
+    # node-major reference, transposed into slot-major for comparison
+    want = jnp.swapaxes(
+        check_node_update(
+            jnp.swapaxes(t - c2v, 0, 1), synd, jnp.swapaxes(mask, 0, 1)
+        ),
+        0, 1,
+    )
+    want_sm = check_node_update_sm(t - c2v, synd, mask)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(want_sm), atol=1e-6
+    )
     mask_i = mask.astype(jnp.int32)
-    parity = jnp.sum((t < 0).astype(jnp.int32) * mask_i[:, :, None], 1) & 1
+    parity = jnp.sum((t < 0).astype(jnp.int32) * mask_i[:, :, None], 0) & 1
     conv_want = jnp.all(parity == synd, axis=0)
 
     got, viol = bp_check_phase_generic(
