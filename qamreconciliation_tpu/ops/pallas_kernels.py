@@ -101,12 +101,22 @@ def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
     out_ref[:] = (sign * pref * mag).astype(out_dtype)
 
 
-def _pick_zb(z: int, cap: int = 384) -> int:
-    """z-chunk size: largest divisor of z <= cap, preferring sublane-aligned
-    (multiple of 8) divisors; bounds the kernel's VMEM block size."""
-    divs = [d for d in range(1, min(z, cap) + 1) if z % d == 0]
-    aligned = [d for d in divs if d % 8 == 0]
-    return max(aligned or divs)
+def _pick_zb(z: int, B: int = 128, dc: int = 6) -> int | None:
+    """z-chunk size for the QC check-phase kernel, or None if no legal
+    blocking exists.
+
+    Mosaic requires the -2 block dim to be a multiple of 8 OR equal to the
+    full array dim, and the kernel keeps ~14 [1, dc, ZB, B] float32
+    temporaries live against the ~16 MB scoped-VMEM budget — so: the whole
+    z if it fits, else the largest 8-aligned divisor of z that fits, else
+    None (caller falls back to the XLA check phase; e.g. z=450=2*3^2*5^2
+    has no 8-aligned divisor and doesn't fit at B=128)."""
+    budget = 12 * 2 ** 20
+    cap = max(1, budget // (14 * dc * B * 4))
+    if z <= cap:
+        return z
+    aligned = [d for d in range(8, cap + 1, 8) if z % d == 0]
+    return max(aligned) if aligned else None
 
 
 @functools.partial(jax.jit, static_argnames=("block_z", "interpret"))
@@ -127,7 +137,13 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
     (reference: qamreconciliation/decoder.pyx:322-369, 251-257).
     """
     nb_c, dc, z, B = t.shape
-    ZB = block_z or _pick_zb(z)
+    ZB = block_z or _pick_zb(z, B=B, dc=dc)
+    if ZB is None:
+        raise ValueError(
+            f"no legal Pallas z-blocking for z={z}, B={B}, dc={dc} "
+            "(needs an 8-aligned divisor of z that fits VMEM); use the "
+            "XLA check phase instead"
+        )
     if z % ZB:
         raise ValueError(f"block_z {ZB} must divide z {z}")
     nzb = z // ZB

@@ -38,10 +38,12 @@ def add_engine_args(parser: argparse.ArgumentParser):
         "g_inv_search contract) instead of the tabulated LLR map",
     )
     parser.add_argument(
-        "--llr-mode", choices=["table", "interp", "search"], default=None,
-        help="Softening LLR path: 'table' (precomputed (n,j)->LLR map, "
-        "fastest, default), 'interp' (per-sample grid inverse), 'search' "
-        "(exact Newton inverse).  Overrides --llr-exact.",
+        "--llr-mode", choices=["poly", "table", "interp", "search"],
+        default=None,
+        help="Softening LLR path: 'poly' (gather-free piecewise-Chebyshev "
+        "fit of the LLR curves, fastest on TPU, default), 'table' "
+        "(precomputed (n,j)->LLR map + gathers), 'interp' (per-sample grid "
+        "inverse), 'search' (exact Newton inverse).  Overrides --llr-exact.",
     )
     parser.add_argument("--seed", type=int, default=0, help="Sweep PRNG seed")
     parser.add_argument(
@@ -55,7 +57,7 @@ def add_engine_args(parser: argparse.ArgumentParser):
 
 
 def engine_kwargs(args):
-    llr_mode = args.llr_mode or ("search" if args.llr_exact else "table")
+    llr_mode = args.llr_mode or ("search" if args.llr_exact else "poly")
     kw = dict(
         batch=args.batch,
         dtype=jnp.dtype(args.dtype),

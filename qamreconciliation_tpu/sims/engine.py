@@ -72,10 +72,13 @@ class ReconciliationEngine:
       dec, mat, pa: decoder / parity matrix / alphabet (shared graph metadata).
       batch: frames per round per device.
       dtype: LLR/message dtype.
-      llr_mode: "table" (default; host-precomputed (n, j)->LLR map, two
-        gathers + lerp per bit), "interp" (per-sample grid-interpolated
-        g^-1) or "search" (exact Newton inverse, the reference's
-        g_inv_search contract — slowest).
+      llr_mode: "poly" (default; gather-free piecewise-Chebyshev fit of
+        the (n, j)->LLR curves — on the axon TPU backend each [S, B]
+        random gather costs ~30 ms, so this is ~4x faster end-to-end than
+        "table"), "table" (host-precomputed LLR map, two gathers + lerp
+        per bit), "interp" (per-sample grid-interpolated g^-1) or
+        "search" (exact Newton inverse, the reference's g_inv_search
+        contract — slowest).
       mesh_axis: optional ``(mesh, axis_name)`` to shard rounds over devices
         (see parallel/sweep.py helpers).
     """
@@ -87,7 +90,7 @@ class ReconciliationEngine:
         pa: PAMAlphabet,
         batch: int = 128,
         dtype=DEFAULT_DTYPE,
-        llr_mode: str = "table",
+        llr_mode: str = "poly",
         mesh_axis=None,
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
@@ -191,7 +194,8 @@ class ReconciliationEngine:
             ) * jax.random.normal(kn, (self.N_symb, B), dtype)
             return x, y
 
-        if mode == "softening" and self.llr_mode == "table":
+        if mode == "softening" and self.llr_mode in ("table", "poly"):
+            poly = self.llr_mode == "poly"
 
             def round_fn(key, max_iterations, nm, sigma, alpha):
                 x, y = sample_sb(key, sigma)
@@ -201,7 +205,8 @@ class ReconciliationEngine:
                 word = self._bits_nb(
                     lambda b, idx: s2b_dev[:, b][idx], x_hat
                 )
-                llr_bits = nm._table_llr_bits(n_hat, x)        # bps x [S, B]
+                llr_fn = nm._poly_llr_bits if poly else nm._table_llr_bits
+                llr_bits = llr_fn(n_hat, x)                    # bps x [S, B]
                 lappr = alpha.astype(dtype) * self._bits_nb(
                     lambda b, _: llr_bits[b], x_hat
                 )
@@ -286,6 +291,8 @@ class ReconciliationEngine:
             nm = NoiseMapper(self.pa, N0, cfg, dtype=self.dtype)
             if mode == "softening" and self.llr_mode == "table":
                 nm._ensure_llr_tab()   # before flatten: table-mode consumer
+            elif mode == "softening" and self.llr_mode == "poly":
+                nm._ensure_llr_poly()
 
         round_fn = self._round_cache.get(mode)
         if round_fn is None:
@@ -401,6 +408,9 @@ class ReconciliationEngine:
             if mode == "softening" and self.llr_mode == "table":
                 for m in nms:
                     m._ensure_llr_tab()
+            elif mode == "softening" and self.llr_mode == "poly":
+                for m in nms:
+                    m._ensure_llr_poly()
             nm_stack = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *nms
             )

@@ -57,7 +57,8 @@ class StreamReconciler:
       batch: frames processed per device round on BOTH sides (the streaming
         block size is ``batch * N_symb`` symbols; partial tail blocks are
         padded up to ``batch`` so every call reuses one compiled program).
-      llr_mode: "table" (default; precomputed (n, j)->LLR map), "interp"
+      llr_mode: "poly" (default; gather-free piecewise-Chebyshev LLR
+        curves), "table" (precomputed (n, j)->LLR map), "interp"
         (per-sample grid inverse) or "search" (exact Newton inverse) — see
         NoiseMapper.demap_lappr_array.
     """
@@ -69,7 +70,7 @@ class StreamReconciler:
         pa: PAMAlphabet,
         nm: NoiseMapper,
         batch: int = 32,
-        llr_mode: str = "table",
+        llr_mode: str = "poly",
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
             raise ValueError("code length not divisible by bits/symbol")
@@ -89,6 +90,8 @@ class StreamReconciler:
             # build before any jit flattens the mapper: the lazy LLR table
             # changes the pytree structure when materialized
             nm._ensure_llr_tab()
+        elif llr_mode == "poly":
+            nm._ensure_llr_poly()
 
     # ---------------------------------------------------------------- Bob
 
@@ -172,6 +175,8 @@ class StreamReconciler:
             llr_mode = self.llr_mode
             if llr_mode == "table":
                 self.nm._ensure_llr_tab()   # before flatten
+            elif llr_mode == "poly":
+                self.nm._ensure_llr_poly()
 
             def alice_round(nm, n_hat, x, synd, max_iter):
                 lappr = nm.demap_lappr_array(n_hat, x, mode=llr_mode)

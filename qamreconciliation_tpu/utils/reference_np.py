@@ -56,8 +56,9 @@ def softening_frames_np(nm, alphabet, n_frames: int, n_symb: int, seed: int = 0)
     word = nm.alphabet.s_to_b[x_hat].reshape(n_frames, -1).astype(np.uint8)
 
     # Alice: per-candidate inverse softening + probability-weighted LLRs
-    # (interp flavor — the engine's default llr_mode is "table", whose values
-    # are a dense tabulation of this same interp chain; tests compare both).
+    # (interp flavor — the engine's default llr_mode is "poly", a
+    # piecewise-Chebyshev fit of this same chain; "table" is its dense
+    # tabulation; tests compare all of them).
     u = np.linspace(0.0, 1.0, 1 << 14)
     y_of_u = np.interp(u, t["F_Y"], t["y_range"])
     ii = np.arange(M)

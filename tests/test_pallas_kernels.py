@@ -142,3 +142,54 @@ def test_bp_check_phase_bf16_storage_f32_math():
     a16 = np.asarray(out16.astype(jnp.float32))
     assert np.isfinite(a16).all()
     np.testing.assert_allclose(a16, np.asarray(out32), rtol=0.1, atol=0.15)
+
+
+def test_pick_zb_alignment_and_vmem():
+    """_pick_zb: 8-aligned or whole-z, VMEM-bounded, None when impossible.
+
+    Regression for z=450 (DVB-S2-like lifting 2*3^2*5^2: no 8-aligned
+    divisor, too big to fit whole at B=128) which crashed the TPU QC path
+    with a Mosaic layout error before the fallback existed.
+    """
+    from qamreconciliation_tpu.ops.pallas_kernels import _pick_zb
+
+    assert _pick_zb(450, B=128, dc=6) is None
+    zb = _pick_zb(128, B=128, dc=6)
+    assert zb is not None and 128 % zb == 0 and (zb % 8 == 0 or zb == 128)
+    # small z fits whole even if unaligned
+    assert _pick_zb(12, B=128, dc=6) == 12
+    # budget respected: <= 12MB of 14 [1, dc, ZB, B] f32 temporaries
+    for z, B, dc in [(5400, 128, 6), (1024, 256, 7), (450, 128, 6)]:
+        got = _pick_zb(z, B=B, dc=dc)
+        if got is not None:
+            assert 14 * dc * got * B * 4 <= 12 * 2**20
+            assert z % got == 0
+
+
+def test_qc_decoder_pallas_fallback_no_legal_blocking():
+    """QCDecoder with use_pallas=True at z=450-style shapes falls back to
+    the XLA check phase (with a warning) instead of crashing."""
+    import warnings
+
+    from qamreconciliation_tpu.models.matrix import Matrix
+    from qamreconciliation_tpu.models.qc_decoder import QCDecoder, make_qc_ldpc
+
+    rng = np.random.default_rng(7)
+    z = 450
+    base, vid, cid = make_qc_ldpc(4, z, dv=2, dc=4, seed=1)
+    mat = Matrix(vid, cid)
+    B = 128  # the VMEM-infeasible batch (dc=4: cap ~438 < 450, no
+    # 8-aligned divisor of 450 = 2*3^2*5^2)
+    word = rng.integers(0, 2, (B, 4 * z))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 1.2, word.shape)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s1, i1, f1 = QCDecoder(base, z, dtype=jnp.float32,
+                               use_pallas=True).decode_batch(llr, synd, 6)
+    assert any("no legal VMEM blocking" in str(w.message) for w in rec)
+    s0, i0, f0 = QCDecoder(base, z, dtype=jnp.float32,
+                           use_pallas=False).decode_batch(llr, synd, 6)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))

@@ -45,7 +45,7 @@ def test_sharded_round_equals_manual_per_device_sum(setup):
     from qamreconciliation_tpu.models.noisemapper import NoiseMapper
 
     nm = NoiseMapper(pa, N0, cfg, dtype=jnp.float64)
-    nm._ensure_llr_tab()   # table-mode consumer: build before jit
+    nm._ensure_llr_poly()  # default poly-mode consumer: build before jit
 
     shard_fn = eng_sharded._build_round("softening")
     local_fn = eng_local._build_round("softening")

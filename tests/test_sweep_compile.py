@@ -127,7 +127,7 @@ def test_point_batched_sweep_matches_manual_vmap_lanes():
     for p, snr in enumerate(snrs):
         N0 = pa.variance * 10 ** (-snr / 10) / 2
         nm = NoiseMapper(pa, N0, np.zeros(4, np.uint8), dtype=eng.dtype)
-        nm._ensure_llr_tab()   # table-mode consumer: build before jit
+        nm._ensure_llr_poly()  # default poly-mode consumer: build before jit
         sigma = jnp.asarray(math.sqrt(N0), eng.dtype)
         alpha = jnp.asarray(1.0, eng.dtype)
         pk = jax.random.fold_in(key, p)
