@@ -95,6 +95,13 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()} "
         f"dtype={DTYPE} qc={USE_QC} bps={BPS} mode={MODE}")
     dt = jnp.dtype(DTYPE)
+    # Absorb the one-time device-client/compile warmup (measured ~2 min for
+    # the FIRST op a fresh process sends through the remote tunnel) so it
+    # lands in no timed section below.
+    t0 = time.perf_counter()
+    np.asarray(jnp.zeros((8, 8), dt) + 1)
+    log(f"device warmup (first-op tunnel latency): "
+        f"{time.perf_counter() - t0:.1f}s")
     if USE_QC:
         from qamreconciliation_tpu.models.qc_decoder import (
             QCDecoder, make_qc_ldpc,

@@ -1,0 +1,74 @@
+"""Decode-only TPU probe: time ms/BP-iteration for a given decoder config.
+
+Usage (one TPU experiment at a time, under timeout, in background):
+    python scripts/probe_decode.py --batch 256 --qc 1 --pallas 1
+
+Prints one JSON line with {ms_per_iter, decode_fps, compile_s, ...}.
+Same workload as bench.py step 1 (random syndrome -> exactly maxiter
+iterations; end every timed window with a device->host read, the only
+true sync on the axon backend).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=64800)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--qc", type=int, default=1)
+    ap.add_argument("--pallas", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--maxiter", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    dt = jnp.dtype(args.dtype)
+    if args.qc:
+        from qamreconciliation_tpu.models.qc_decoder import (
+            QCDecoder, make_qc_ldpc,
+        )
+
+        z = args.n // 36
+        base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
+        dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas))
+    else:
+        from qamreconciliation_tpu.models.decoder import Decoder
+        from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc
+
+        vid, cid = make_regular_ldpc(args.n, dv=3, dc=6, seed=12345)
+        dec = Decoder(vid, cid, dtype=dt, use_pallas=bool(args.pallas))
+
+    rng = np.random.default_rng(0)
+    lappr = jnp.asarray(rng.normal(0, 3.0, (args.n, args.batch)), dt)
+    synd = jnp.asarray(
+        rng.integers(0, 2, (len(vid) // 6, args.batch)), jnp.int32
+    )
+    f = dec._build_decode()
+    t0 = time.perf_counter()
+    out = f(lappr, synd, jnp.int32(args.maxiter))
+    np.asarray(out[1])
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first: {compile_s:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out = f(lappr, synd, jnp.int32(args.maxiter))
+        np.asarray(out[1])
+    ms_iter = (time.perf_counter() - t0) / args.reps / args.maxiter * 1e3
+    print(json.dumps({
+        "n": args.n, "batch": args.batch, "qc": args.qc,
+        "pallas": args.pallas, "dtype": args.dtype,
+        "ms_per_iter": round(ms_iter, 3),
+        "decode_fps": round(args.batch / (ms_iter * args.maxiter) * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
