@@ -11,8 +11,11 @@ true sync on the axon backend).
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -28,6 +31,8 @@ def main():
 
     import jax.numpy as jnp
     import numpy as np
+
+    np.asarray(jnp.zeros((8, 8)) + 1)  # untimed first-op tunnel warmup
 
     dt = jnp.dtype(args.dtype)
     if args.qc:

@@ -16,8 +16,11 @@ Usage: python scripts/probe_qc_parts.py --part rolls|check --batch 128
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -34,6 +37,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    np.asarray(jnp.zeros((8, 8)) + 1)  # untimed first-op tunnel warmup
 
     from qamreconciliation_tpu.models.qc_decoder import (
         QCDecoder, make_qc_ldpc,
