@@ -119,6 +119,29 @@ class QCDecoder:
         )
         self.graph = TannerGraph(vid, cid)
 
+    def syndrome_from_bits(self, bits):
+        """Syndrome via circulant rolls: [V, B] int (0/1) -> [C, B] int32.
+
+        Check ``cb*z + j`` touches variable ``vb*z + ((j - s) % z)``
+        (same convention as the decode loop's gather_totals), so each base
+        edge contributes ``roll(word_block[vb], s, axis=0)``.  Replaces the
+        generic expanded-graph [dc, C, B] gather
+        (TannerGraph.syndrome_from_bits) — same XOR-parity semantics as
+        reference qamreconciliation/matrix.pyx:55-60, but pure rolls:
+        measured 7.1 ms (gather) vs sub-ms (rolls) at N=64800, B=128.
+        """
+        z = self.z
+        B = bits.shape[-1]
+        w = jnp.asarray(bits, jnp.int32).reshape(self.nb_v, z, B)
+        out = []
+        for row in self._rows:
+            acc = None
+            for (v, s) in row:
+                slab = jnp.roll(w[v], s, axis=0)
+                acc = slab if acc is None else acc + slab
+            out.append(acc & 1)
+        return jnp.stack(out).reshape(self.cnum, B)
+
     def _build_decode(self):
         """Duck-type alias matching Decoder's engine-facing API."""
         return self._build()

@@ -17,7 +17,8 @@ __all__ = ["shard_round", "sharded_sweep"]
 def shard_round(round_fn, mesh, axis_name: str = "dp"):
     """Wrap a per-device round function into a mesh-wide jitted round.
 
-    ``round_fn(key, max_iter, *args) -> tuple of scalar counters`` runs
+    ``round_fn(key, max_iter, *args) -> counters pytree`` (a stacked [4]
+    int32 array for the engines; tuples of scalars also work) runs
     replicated per device with a decorrelated key; any extra args (e.g. a
     NoiseMapper pytree, sigma/alpha scalars) are broadcast unchanged.
     Counters are psum-reduced so every device (and the host) sees the
@@ -27,7 +28,9 @@ def shard_round(round_fn, mesh, axis_name: str = "dp"):
     def inner(key, max_iter, *args):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         counters = round_fn(key, max_iter, *args)
-        return tuple(jax.lax.psum(jnp.asarray(c), axis_name) for c in counters)
+        return jax.tree.map(
+            lambda c: jax.lax.psum(jnp.asarray(c), axis_name), counters
+        )
 
     mapped = jax.shard_map(
         inner,

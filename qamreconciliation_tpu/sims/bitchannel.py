@@ -27,7 +27,7 @@ from ..config import DEFAULT_DTYPE
 from ..models.decoder import Decoder
 from ..models.matrix import Matrix
 from ..utils.scalar import count_errors_from_lappr
-from .engine import PointResult, _decode_inline
+from .engine import PointResult, _decode_inline, scan_rounds
 
 __all__ = ["BitChannelEngine"]
 
@@ -42,20 +42,31 @@ class BitChannelEngine:
         batch: int = 128,
         dtype=DEFAULT_DTYPE,
         mesh_axis=None,
+        rounds_per_dispatch: int = 1,
     ):
         self.dec = dec
         self.mat = mat
         self.batch = int(batch)
         self.dtype = jnp.dtype(dtype)
         self.mesh_axis = mesh_axis
+        self.rounds_per_dispatch = int(rounds_per_dispatch)
         self.N = mat.vnum
         self.K = mat.vnum - mat.cnum
-        self.frames_per_round = self.batch * (
-            mesh_axis[0].devices.size if mesh_axis is not None else 1
+        # BSC counts bit errors over the whole word (N, not K); int32
+        # on-device counters bound the per-dispatch error sum
+        if self.rounds_per_dispatch * self.batch * self.N >= 2 ** 31:
+            raise ValueError(
+                "rounds_per_dispatch * batch * N must stay below 2^31 "
+                "(int32 on-device counters)"
+            )
+        self.frames_per_round = (
+            self.batch * self.rounds_per_dispatch
+            * (mesh_axis[0].devices.size if mesh_axis is not None else 1)
         )
         self._round_cache = {}
 
     def _wrap(self, round_fn):
+        round_fn = scan_rounds(round_fn, self.rounds_per_dispatch)
         if self.mesh_axis is not None:
             from ..parallel.sweep import shard_round
 
@@ -79,14 +90,16 @@ class BitChannelEngine:
                 self.dec, lappr, synd, max_iterations
             )
             # BSC sweep counts errors over the WHOLE word
-            # (reference: sims/sim_bsc.py:66)
+            # (reference: sims/sim_bsc.py:66).  Counters stacked into ONE
+            # [4] array: a single device->host roundtrip per round (see
+            # engine._decode_and_count).
             errors = count_errors_from_lappr(final, word)
-            return (
+            return jnp.stack([
                 jnp.sum(errors),
                 jnp.sum(errors > 0),
                 jnp.sum(jnp.where(success, iters, 0)),
                 jnp.sum(success),
-            )
+            ])
 
         return self._wrap(round_fn)
 
@@ -110,12 +123,12 @@ class BitChannelEngine:
                 self.dec, lappr, synd, max_iterations
             )
             errors = count_errors_from_lappr(final[:, : self.K], word[:, : self.K])
-            return (
+            return jnp.stack([
                 jnp.sum(errors),
                 jnp.sum(errors > 0),
                 jnp.sum(jnp.where(success, iters, 0)),
                 jnp.sum(success),
-            )
+            ])
 
         return self._wrap(round_fn)
 
@@ -136,7 +149,7 @@ class BitChannelEngine:
                 *round_args,
             )
             if pending is not None:
-                e, fe, it, sc = pending
+                e, fe, it, sc = np.asarray(pending)  # one host transfer
                 err += int(e)
                 ferr += int(fe)
                 its += int(it)
@@ -147,7 +160,7 @@ class BitChannelEngine:
                     break
             pending = out
         if pending is not None:
-            e, fe, it, sc = pending
+            e, fe, it, sc = np.asarray(pending)
             err += int(e)
             ferr += int(fe)
             its += int(it)

@@ -65,6 +65,34 @@ class PointResult:
         return (self.snr_dB, self.ber, self.fer, self.iters)
 
 
+def scan_rounds(body, rounds_per_dispatch: int, counter_shape=()):
+    """Wrap a counters-returning round body in a device-side ``lax.scan``
+    over ``rounds_per_dispatch`` sub-rounds (decorrelated by an inner
+    ``fold_in``), summing the [..., 4] int32 counters on-chip.
+
+    One dispatch then advances R frame batches: on remote-tunnel TPU
+    backends the fixed per-dispatch host roundtrip (~10-100 ms) can match
+    the round's device time, so scanning amortizes it R-fold.
+    """
+    R = int(rounds_per_dispatch)
+    if R <= 1:
+        return body
+
+    def multi(key, max_iterations, *args):
+        def step(acc, r):
+            out = body(jax.random.fold_in(key, r), max_iterations, *args)
+            # x64 mode promotes some counters to int64; the carry stays
+            # int32 (values bounded < 2^31 by the engine ctor guards)
+            return acc + out.astype(acc.dtype), None
+
+        tot, _ = jax.lax.scan(
+            step, jnp.zeros((*counter_shape, 4), jnp.int32), jnp.arange(R)
+        )
+        return tot
+
+    return multi
+
+
 class ReconciliationEngine:
     """Batched Monte-Carlo engine bound to (code, alphabet).
 
@@ -81,6 +109,15 @@ class ReconciliationEngine:
         contract — slowest).
       mesh_axis: optional ``(mesh, axis_name)`` to shard rounds over devices
         (see parallel/sweep.py helpers).
+      rounds_per_dispatch: run this many frame batches inside ONE jitted
+        call (``lax.scan`` over the round body, counters summed on
+        device).  On the remote-tunnel TPU backend every dispatch pays a
+        fixed host roundtrip (~10-100 ms, erratic) that can exceed the
+        round's 50 ms of device compute; scanning R rounds amortizes it
+        R-fold.  Early exit coarsens from batch-granular to
+        (R*batch)-granular — an extension of the documented deviation from
+        the reference's per-frame exit (reference:
+        sims/reconciliation.pyx:159-161).
     """
 
     def __init__(
@@ -92,6 +129,7 @@ class ReconciliationEngine:
         dtype=DEFAULT_DTYPE,
         llr_mode: str = "poly",
         mesh_axis=None,
+        rounds_per_dispatch: int = 1,
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
             raise ValueError(
@@ -105,12 +143,20 @@ class ReconciliationEngine:
         self.dtype = jnp.dtype(dtype)
         self.llr_mode = llr_mode
         self.mesh_axis = mesh_axis
+        self.rounds_per_dispatch = int(rounds_per_dispatch)
         self.N = mat.vnum
         self.K = mat.vnum - mat.cnum
         self.N_symb = mat.vnum // pa.bit_per_symbol
+        # counters are int32 on-device (TPU default; x64 only on CPU tests):
+        # the worst-case bit-error sum per dispatch must fit
+        if self.rounds_per_dispatch * self.batch * self.K >= 2 ** 31:
+            raise ValueError(
+                "rounds_per_dispatch * batch * K must stay below 2^31 "
+                "(int32 on-device counters)"
+            )
         self._round_cache = {}
-        # frames produced per round: per-device batch x mesh width
-        self.frames_per_round = self.batch * (
+        # frames produced per dispatch: batch x scan depth x mesh width
+        self.frames_per_round = self.batch * self.rounds_per_dispatch * (
             mesh_axis[0].devices.size if mesh_axis is not None else 1
         )
 
@@ -119,7 +165,14 @@ class ReconciliationEngine:
 
     def _decode_and_count(self, lappr, word, max_iterations):
         """Common tail: decode [B, N] LLRs against word's syndrome and
-        reduce the reference's four counters."""
+        reduce the reference's four counters.
+
+        Returned STACKED as one [4] int32 array — on the remote-tunnel TPU
+        backend every device->host read is a full roundtrip (~10-40 ms), so
+        four separate scalar counters cost 4 roundtrips per round; one
+        array costs one.  Measured: the bps=4 softening round is 51 ms
+        on-device but was 166 ms wall per round through run_point.
+        """
         synd = self.mat.eval_syndrome(word)
         success, iters, final = _decode_inline(
             self.dec, lappr, synd, max_iterations
@@ -127,12 +180,12 @@ class ReconciliationEngine:
         errors = count_errors_from_lappr(
             final[:, : self.K], word[:, : self.K]
         )
-        return (
+        return jnp.stack([
             jnp.sum(errors),
             jnp.sum(errors > 0),
             jnp.sum(jnp.where(success, iters, 0)),
             jnp.sum(success),
-        )
+        ])
 
     # -- layout-native helpers: samples live as [S, B], bits/LLRs as [N, B]
     # (the decoder's internal layout), so the round has NO minor-axis
@@ -144,9 +197,14 @@ class ReconciliationEngine:
         return jnp.stack(cols, axis=1).reshape(self.N, -1)
 
     def _decode_and_count_nb(self, lappr_nb, word_nb, max_iterations):
-        """[N, B] decode + counters with leading-axis (cheap) reductions."""
-        g = self.dec.graph
-        synd = g.syndrome_from_bits(word_nb.astype(jnp.int32))
+        """[N, B] decode + counters ([4] int32, see _decode_and_count) with
+        leading-axis (cheap) reductions.  Prefers the decoder's own
+        structure-aware syndrome (QC circulant rolls: sub-ms) over the
+        generic [dc, C, B] gather (measured 7.1 ms at N=64800/B=128)."""
+        synd_fn = getattr(
+            self.dec, "syndrome_from_bits", None
+        ) or self.dec.graph.syndrome_from_bits
+        synd = synd_fn(word_nb.astype(jnp.int32))
         if self.dec._decode_jit is None:
             self.dec._decode_jit = self.dec._build_decode()
         success, iters, final = self.dec._decode_jit(
@@ -157,12 +215,12 @@ class ReconciliationEngine:
         # bfloat16 sums silently round above ~256, corrupting BER counters)
         errb = (final[:K] < 0).astype(jnp.int32) ^ word_nb[:K].astype(jnp.int32)
         errors = jnp.sum(errb, axis=0)
-        return (
+        return jnp.stack([
             jnp.sum(errors),
             jnp.sum(errors > 0),
             jnp.sum(jnp.where(success, iters, 0)),
             jnp.sum(success),
-        )
+        ])
 
     def _build_round_body(self, mode: str):
         """The raw (unjitted) round function for MODE — SNR enters through
@@ -255,7 +313,9 @@ class ReconciliationEngine:
 
     def _build_round(self, mode: str):
         """Jitted (and, with a mesh, shard_mapped) round for MODE."""
-        round_fn = self._build_round_body(mode)
+        round_fn = scan_rounds(
+            self._build_round_body(mode), self.rounds_per_dispatch
+        )
         if self.mesh_axis is not None:
             from ..parallel.sweep import shard_round
 
@@ -320,7 +380,9 @@ class ReconciliationEngine:
         def accumulate(out):
             nonlocal err_count, frame_error_count
             nonlocal decoding_iterations, successful_decoding, frames
-            errs, ferrs, iters, succ = out
+            # ONE device->host transfer for all four counters (each read is
+            # a full tunnel roundtrip on this backend)
+            errs, ferrs, iters, succ = np.asarray(out)
             err_count += int(errs)
             frame_error_count += int(ferrs)
             decoding_iterations += int(iters)
@@ -424,6 +486,24 @@ class ReconciliationEngine:
         if vround is None:
             base = self._build_round_body(mode)
             vbody = jax.vmap(base, in_axes=(0, None, 0, 0, 0))
+            if self.rounds_per_dispatch > 1:
+                # scan over sub-rounds OUTSIDE the vmap: per-point keys are
+                # re-folded per sub-round inside the scan step
+                inner_v = vbody
+
+                def vbody(keys, max_iter, nm_s, sig, alp):
+                    def step(acc, r):
+                        ks = jax.vmap(
+                            lambda k: jax.random.fold_in(k, r)
+                        )(keys)
+                        out = inner_v(ks, max_iter, nm_s, sig, alp)
+                        return acc + out.astype(acc.dtype), None
+
+                    tot, _ = jax.lax.scan(
+                        step, jnp.zeros((P, 4), jnp.int32),
+                        jnp.arange(self.rounds_per_dispatch),
+                    )
+                    return tot
             if self.mesh_axis is not None:
                 # compose with frame-shard DP: every device runs all P
                 # points on decorrelated keys; counters psum over the mesh
@@ -438,9 +518,7 @@ class ReconciliationEngine:
                         )
                     )(keys)
                     counters = vbody(keys, max_iter, nm_s, sig, alp)
-                    return tuple(
-                        jax.lax.psum(c, axis) for c in counters
-                    )
+                    return jax.lax.psum(counters, axis)    # [P, 4]
 
                 vround = jax.jit(jax.shard_map(
                     inner, mesh=mesh, in_specs=_P(), out_specs=_P(),
@@ -464,7 +542,7 @@ class ReconciliationEngine:
 
         def accumulate(out):
             nonlocal active
-            out_np = np.stack([np.asarray(c) for c in out], axis=1)  # [P, 4]
+            out_np = np.asarray(out)        # [P, 4], one host transfer
             counters[active] += out_np[active]
             frames[active] += self.frames_per_round
             active = active & ~(

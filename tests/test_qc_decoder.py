@@ -89,3 +89,18 @@ def test_qc_csv_roundtrip_and_cli(tmp_path):
     ])
     assert list(df.columns) == ["EsN0dB", "ber", "fer", "iters"]
     assert 0.0 <= float(df.ber[0]) <= 1.0
+
+
+def test_qc_roll_syndrome_matches_generic_gather():
+    """QCDecoder.syndrome_from_bits (circulant rolls — the engine hot path)
+    must agree bit-exactly with the expanded-graph gather+popcount
+    (TannerGraph.syndrome_from_bits) for every word."""
+    import numpy as np
+
+    base, vid, cid = make_qc_ldpc(nb_v=36, z=50, dv=3, dc=6, seed=3)
+    dec = QCDecoder(base, 50, use_pallas=False)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.integers(0, 2, (dec.vnum, 8)), jnp.int32)
+    got = np.asarray(dec.syndrome_from_bits(w))
+    ref = np.asarray(dec.graph.syndrome_from_bits(w))
+    assert np.array_equal(got, ref)
