@@ -36,7 +36,8 @@ point below keep this honest); BENCH_DTYPE=float32 restores full-width.
 Knobs: BENCH_N, BENCH_BATCH, BENCH_SNR, BENCH_SNR2, BENCH_MAXITER,
 BENCH_ROUNDS, BENCH_DTYPE, BENCH_QC=0 (generic gather decoder instead of
 QC), BENCH_BPS (4 -> 16-PAM), BENCH_MODE (softening|hard|direct),
-BENCH_SKIP_DECODE=1 / BENCH_SKIP_WATERFALL=1 (trim steps), BENCH_BASELINE_S.
+BENCH_SKIP_DECODE=1 / BENCH_SKIP_WATERFALL=1 (trim steps), BENCH_BASELINE_S,
+BENCH_RPD (rounds per device dispatch, lax.scan on-chip; default 4).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -53,6 +54,7 @@ SNR_DB = float(os.environ.get("BENCH_SNR", 3.5))
 SNR2_DB = float(os.environ.get("BENCH_SNR2", 4.0))
 MAX_ITER = int(os.environ.get("BENCH_MAXITER", 50))
 TIMED_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 8))
+RPD = int(os.environ.get("BENCH_RPD", 4))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 BPS = int(os.environ.get("BENCH_BPS", 2))
 MODE = os.environ.get("BENCH_MODE", "softening")
@@ -122,10 +124,11 @@ def main():
     mat = Matrix(vid, cid)
     pa = PAMAlphabet(BPS, 2.0)
     eng = ReconciliationEngine(dec, mat, pa, batch=BATCH, dtype=dt,
-                               llr_mode=LLR_MODE)
+                               llr_mode=LLR_MODE, rounds_per_dispatch=RPD)
 
     extras = {"code": code, "dtype": DTYPE, "bps": BPS, "mode": MODE,
-              "batch": BATCH, "maxiter": MAX_ITER, "llr_mode": LLR_MODE}
+              "batch": BATCH, "maxiter": MAX_ITER, "llr_mode": LLR_MODE,
+              "rounds_per_dispatch": RPD}
 
     # ---- 1. decode-only roofline probe ------------------------------------
     if not SKIP_DECODE:

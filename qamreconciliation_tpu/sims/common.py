@@ -45,6 +45,13 @@ def add_engine_args(parser: argparse.ArgumentParser):
         "(precomputed (n,j)->LLR map + gathers), 'interp' (per-sample grid "
         "inverse), 'search' (exact Newton inverse).  Overrides --llr-exact.",
     )
+    parser.add_argument(
+        "--rounds-per-dispatch", type=int, default=1,
+        help="Run this many frame batches per device dispatch (lax.scan on "
+        "device, counters summed on-chip).  Amortizes the fixed per-"
+        "dispatch host roundtrip of remote TPU backends; early exit "
+        "coarsens to (batch * R)-frame granularity",
+    )
     parser.add_argument("--seed", type=int, default=0, help="Sweep PRNG seed")
     parser.add_argument(
         "--resume", action="store_true",
@@ -62,6 +69,7 @@ def engine_kwargs(args):
         batch=args.batch,
         dtype=jnp.dtype(args.dtype),
         llr_mode=llr_mode,
+        rounds_per_dispatch=getattr(args, "rounds_per_dispatch", 1),
     )
     if args.devices > 1:
         from ..parallel import make_mesh

@@ -147,3 +147,55 @@ def test_bfloat16_error_counters_exact():
     errs, ferrs, _, _ = eng._decode_and_count_nb(lappr, word, jnp.int32(0))
     assert int(errs) == B * K, (int(errs), B * K)
     assert int(ferrs) == B
+
+
+def test_rounds_per_dispatch_scan_equals_sequential(code):
+    """The device-side lax.scan over R sub-rounds (rounds_per_dispatch)
+    must produce EXACTLY the sum of R sequential base rounds on the same
+    fold_in key chain — one dispatch, identical counters."""
+    import jax
+
+    eng1 = make_engine(code)
+    engR = make_engine(code, rounds_per_dispatch=3)
+    assert engR.frames_per_round == 3 * eng1.frames_per_round
+
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+
+    pa = eng1.pa
+    N0 = pa.variance * 10 ** (-4.5 / 10) / 2
+    nm = NoiseMapper(pa, N0, np.zeros(4, np.uint8), dtype=jnp.float64)
+    nm._ensure_llr_poly()
+    sig = jnp.asarray(float(np.sqrt(N0)), jnp.float64)
+    alp = jnp.asarray(1.0, jnp.float64)
+    key = jax.random.key(11)
+
+    got = np.asarray(
+        engR._build_round("softening")(key, jnp.int32(12), nm, sig, alp)
+    )
+    base = eng1._build_round_body("softening")
+    want = sum(
+        np.asarray(
+            base(jax.random.fold_in(key, r), jnp.int32(12), nm, sig, alp)
+        )
+        for r in range(3)
+    )
+    assert np.array_equal(got, want), (got, want)
+
+
+def test_rounds_per_dispatch_point_batch(code):
+    """--point-batch composes with rounds_per_dispatch: the scanned vmapped
+    sweep returns the same per-point counters as R sequential vmapped
+    rounds."""
+    eng = make_engine(code, rounds_per_dispatch=2)
+    res = eng.run_sweep_batched(
+        "softening", [3.0, 6.0], 10, 256, 10**9,
+        nmconfig=np.zeros(4, np.uint8), seed=5,
+    )
+    assert len(res) == 2
+    assert all(r.frames == 256 for r in res)
+    assert res[1].ber <= res[0].ber
+
+
+def test_int32_counter_guard(code):
+    with pytest.raises(ValueError, match="2\\^31"):
+        make_engine(code, rounds_per_dispatch=10 ** 9)
