@@ -37,7 +37,9 @@ Knobs: BENCH_N, BENCH_BATCH, BENCH_SNR, BENCH_SNR2, BENCH_MAXITER,
 BENCH_ROUNDS, BENCH_DTYPE, BENCH_QC=0 (generic gather decoder instead of
 QC), BENCH_BPS (4 -> 16-PAM), BENCH_MODE (softening|hard|direct),
 BENCH_SKIP_DECODE=1 / BENCH_SKIP_WATERFALL=1 (trim steps), BENCH_BASELINE_S,
-BENCH_RPD (rounds per device dispatch, lax.scan on-chip; default 4).
+BENCH_RPD (rounds per device dispatch, lax.scan on-chip; default 4),
+BENCH_CHECK (check-node rule: sumproduct [default, reference math] or
+minsum [normalized min-sum TPU extension, transcendental-free]).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -55,6 +57,7 @@ SNR2_DB = float(os.environ.get("BENCH_SNR2", 4.0))
 MAX_ITER = int(os.environ.get("BENCH_MAXITER", 50))
 TIMED_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 8))
 RPD = int(os.environ.get("BENCH_RPD", 4))
+CHECK_RULE = os.environ.get("BENCH_CHECK", "sumproduct")
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 BPS = int(os.environ.get("BENCH_BPS", 2))
 MODE = os.environ.get("BENCH_MODE", "softening")
@@ -115,11 +118,13 @@ def main():
             )
         z = N_CODE // 36
         base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
-        dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS)
+        dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                        check_rule=CHECK_RULE)
         code = f"qc(3,6) z={z} N={dec.vnum}"
     else:
         vid, cid = make_regular_ldpc(N_CODE, dv=3, dc=6, seed=12345)
-        dec = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS)
+        dec = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS,
+                      check_rule=CHECK_RULE)
         code = f"regular(3,6) N={dec.vnum}"
     mat = Matrix(vid, cid)
     pa = PAMAlphabet(BPS, 2.0)
@@ -128,7 +133,7 @@ def main():
 
     extras = {"code": code, "dtype": DTYPE, "bps": BPS, "mode": MODE,
               "batch": BATCH, "maxiter": MAX_ITER, "llr_mode": LLR_MODE,
-              "rounds_per_dispatch": RPD}
+              "rounds_per_dispatch": RPD, "check_rule": CHECK_RULE}
 
     # ---- 1. decode-only roofline probe ------------------------------------
     if not SKIP_DECODE:

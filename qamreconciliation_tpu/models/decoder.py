@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from ..config import DEFAULT_DTYPE, INDEX_DTYPE
-from ..ops.boxplus import check_node_update_sm, box_plus
+from ..ops.boxplus import (
+    box_plus, check_node_minsum_sm, check_node_update_sm,
+)
 
 __all__ = ["TannerGraph", "Decoder"]
 
@@ -203,7 +205,8 @@ class Decoder:
     """
 
     def __init__(self, e_to_v, e_to_c, dtype=DEFAULT_DTYPE,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 check_rule: str = "sumproduct"):
         self.graph = TannerGraph(e_to_v, e_to_c)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_generic)
@@ -214,6 +217,13 @@ class Decoder:
         # for A/B runs.  (The QC decoder's fused kernel is the opposite
         # case and stays default-on there.)
         self.use_pallas = use_pallas
+        # "sumproduct" (exact phi form — the reference's math,
+        # qamreconciliation/decoder.pyx:322-369) or "minsum" (normalized
+        # min-sum, alpha=13/16 — opt-in TPU extension: transcendental-free
+        # check phase at ~0.1 dB waterfall cost)
+        if check_rule not in ("sumproduct", "minsum"):
+            raise ValueError(f"unknown check_rule {check_rule!r}")
+        self.check_rule = check_rule
         self._decode_jit = None
 
     # Properties: reference qamreconciliation/decoder.pyx:157-172
@@ -239,6 +249,7 @@ class Decoder:
         if use_pallas is None:
             use_pallas = False
         interpret = jax.default_backend() != "tpu"
+        rule = self.check_rule
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success [B], iters [B], final [V, B]).
@@ -279,11 +290,14 @@ class Decoder:
                     from ..ops.pallas_kernels import bp_check_phase_generic
 
                     c2v_new, viol = bp_check_phase_generic(
-                        t_d, c2v_d, synd_cb, c_mask_T, interpret=interpret
+                        t_d, c2v_d, synd_cb, c_mask_T, interpret=interpret,
+                        rule=rule,
                     )
                     return jnp.sum(viol, axis=0) == 0, c2v_new
                 conv = consistent_from_gather(t_d)
-                c2v_new = check_node_update_sm(t_d - c2v_d, synd_cb, c_mask_T)
+                update = (check_node_minsum_sm if rule == "minsum"
+                          else check_node_update_sm)
+                c2v_new = update(t_d - c2v_d, synd_cb, c_mask_T)
                 return conv, c2v_new
 
             def cond(state):

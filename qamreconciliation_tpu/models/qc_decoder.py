@@ -82,13 +82,19 @@ class QCDecoder:
     """
 
     def __init__(self, base_edges, z: int, dtype=DEFAULT_DTYPE,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 check_rule: str = "sumproduct"):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
         # None = auto (on for the TPU backend, off elsewhere); tests force
         # the interpreter via use_pallas=True on CPU.
         self.use_pallas = use_pallas
+        # "sumproduct" (reference math) | "minsum" (normalized min-sum,
+        # opt-in TPU extension — see models/decoder.py)
+        if check_rule not in ("sumproduct", "minsum"):
+            raise ValueError(f"unknown check_rule {check_rule!r}")
+        self.check_rule = check_rule
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -181,21 +187,29 @@ class QCDecoder:
                     acc[vb] = jnp.zeros((z, B), c2v.dtype)   # with a gap)
             return jnp.stack(acc)                         # [nb_v, z, B]
 
+        rule = self.check_rule
+
         def qc_check_update(v2c, synd, tiny=1e-30):
             """Check update in native [nb_c, dc, z, B] layout (full rows, no
             mask): sign/phi sum-product with the syndrome prefactor — same
-            math as ops.boxplus.check_node_update, middle-axis reduces only.
-            bf16 messages are upcast to f32 for the phi math (see
+            math as ops.boxplus.check_node_update, middle-axis reduces only
+            — or normalized min-sum when check_rule="minsum".
+            bf16 messages are upcast to f32 for the magnitude math (see
             ops/boxplus.py) and stored back at half width.
             """
-            from ..ops.boxplus import phi_llr
+            from ..ops.boxplus import (
+                MINSUM_ALPHA, minsum_extrinsic_mag, phi_llr,
+            )
 
             out_dtype = v2c.dtype
             if out_dtype == jnp.bfloat16:
                 v2c = v2c.astype(jnp.float32)
-            phim = phi_llr(jnp.abs(v2c), tiny)
-            s_phi = jnp.sum(phim, axis=1, keepdims=True)
-            mag = phi_llr(s_phi - phim, tiny)
+            if rule == "minsum":
+                mag = MINSUM_ALPHA * minsum_extrinsic_mag(jnp.abs(v2c), 1)
+            else:
+                phim = phi_llr(jnp.abs(v2c), tiny)
+                s_phi = jnp.sum(phim, axis=1, keepdims=True)
+                mag = phi_llr(s_phi - phim, tiny)
             neg = (v2c < 0).astype(jnp.int32)
             parity = jnp.sum(neg, axis=1, keepdims=True) & 1
             sign = (1 - 2 * jnp.bitwise_xor(parity, neg)).astype(v2c.dtype)
@@ -232,7 +246,7 @@ class QCDecoder:
                     # fall back to the XLA check phase for those shapes.
                     if _pick_zb(z, B=B, dc=dc) is not None:
                         c2v_new, viol = bp_check_phase_qc(
-                            t, c2v, synd, interpret=interpret
+                            t, c2v, synd, interpret=interpret, rule=rule
                         )
                         return jnp.sum(viol, axis=(0, 1)) == 0, c2v_new
                     if self.use_pallas:  # explicitly requested: say why not

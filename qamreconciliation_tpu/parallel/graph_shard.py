@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_DTYPE, INDEX_DTYPE
 from ..models.decoder import TannerGraph
-from ..ops.boxplus import check_node_update
+from ..ops.boxplus import check_node_minsum, check_node_update
 
 __all__ = ["ShardedDecoder"]
 
@@ -38,13 +38,17 @@ class ShardedDecoder:
       dtype: message dtype.
     """
 
-    def __init__(self, e_to_v, e_to_c, mesh: Mesh, dtype=DEFAULT_DTYPE):
+    def __init__(self, e_to_v, e_to_c, mesh: Mesh, dtype=DEFAULT_DTYPE,
+                 check_rule: str = "sumproduct"):
         if len(mesh.axis_names) != 1:
             raise ValueError("ShardedDecoder expects a 1-D mesh")
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_dev = mesh.devices.size
         self.dtype = jnp.dtype(dtype)
+        if check_rule not in ("sumproduct", "minsum"):
+            raise ValueError(f"unknown check_rule {check_rule!r}")
+        self.check_rule = check_rule
 
         g = TannerGraph(e_to_v, e_to_c)
         self.graph = g
@@ -96,6 +100,8 @@ class ShardedDecoder:
         D, dc, dv = self.n_dev, g.dc_max, g.dv_max
         Cd = self.c_per_dev
         axis = self.axis
+        check_update = (check_node_minsum if self.check_rule == "minsum"
+                        else check_node_update)
 
         c_vids_sh = jnp.asarray(self._c_vids_sh, INDEX_DTYPE)
         c_mask_sh = jnp.asarray(self._c_mask_sh, dtype)
@@ -153,7 +159,7 @@ class ShardedDecoder:
                 )
 
                 v2c = t_c - c2v
-                c2v_new = check_node_update(v2c, synd, c_mask)
+                c2v_new = check_update(v2c, synd, c_mask)
                 total_new = prior + jax.lax.psum(var_partial(c2v_new), axis)
                 return (
                     it + 1, c2v_new, total_new, final_new, done_new, iters_new

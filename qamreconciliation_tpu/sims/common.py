@@ -46,6 +46,14 @@ def add_engine_args(parser: argparse.ArgumentParser):
         "inverse), 'search' (exact Newton inverse).  Overrides --llr-exact.",
     )
     parser.add_argument(
+        "--check-rule", choices=["sumproduct", "minsum"],
+        default="sumproduct",
+        help="Check-node update rule: 'sumproduct' (exact phi form, the "
+        "reference's math) or 'minsum' (normalized min-sum, alpha=13/16 — "
+        "transcendental-free TPU check phase, ~1.8x faster decode at "
+        "~0.1 dB waterfall cost)",
+    )
+    parser.add_argument(
         "--rounds-per-dispatch", type=int, default=1,
         help="Run this many frame batches per device dispatch (lax.scan on "
         "device, counters summed on-chip).  Amortizes the fixed per-"

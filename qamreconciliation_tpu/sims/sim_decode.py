@@ -41,7 +41,8 @@ def build_parser():
 
 def run_sweep(args, snr_column: str):
     vid, cid = load_edge_csv(args.edgefile, num_data_first_row=args.first_row)
-    dec = Decoder(vid, cid, dtype=np.dtype(args.dtype))
+    dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
+                  check_rule=args.check_rule)
     mat = Matrix(vid, cid)
     kw = engine_kwargs(args)
     kw.pop("llr_mode", None)

@@ -93,11 +93,13 @@ def main(argv=None):
         from ..models.qc_decoder import QCDecoder, load_qc_csv
 
         base_edges, z = load_qc_csv(args.edgefile)
-        dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype))
+        dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
+                        check_rule=args.check_rule)
         vid, cid = dec.graph.e_to_v, dec.graph.e_to_c
     else:
         vid, cid = load_edge_csv(args.edgefile)
-        dec = Decoder(vid, cid, dtype=np.dtype(args.dtype))
+        dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
+                      check_rule=args.check_rule)
     if args.graph_shard:
         if args.qc or args.point_batch:
             raise SystemExit(
@@ -108,7 +110,7 @@ def main(argv=None):
 
         dec = ShardedDecoder(
             vid, cid, make_mesh(args.devices, axis_name="gs"),
-            dtype=np.dtype(args.dtype),
+            dtype=np.dtype(args.dtype), check_rule=args.check_rule,
         )
     mat = Matrix(vid, cid)
     pa = PAMAlphabet(args.bps, 2)
