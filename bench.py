@@ -39,7 +39,9 @@ QC), BENCH_BPS (4 -> 16-PAM), BENCH_MODE (softening|hard|direct),
 BENCH_SKIP_DECODE=1 / BENCH_SKIP_WATERFALL=1 (trim steps), BENCH_BASELINE_S,
 BENCH_RPD (rounds per device dispatch, lax.scan on-chip; default 4),
 BENCH_CHECK (check-node rule: sumproduct [default, reference math] or
-minsum [normalized min-sum TPU extension, transcendental-free]).
+minsum [normalized min-sum TPU extension, transcendental-free]),
+BENCH_CHECK2 (secondary rule measured alongside the headline; default
+minsum, "none" to skip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -148,12 +150,16 @@ def main():
         out = f(lappr, synd, jnp.int32(MAX_ITER))
         np.asarray(out[1])  # host transfer: the only true sync this backend
         log(f"decode-only compile+first: {time.perf_counter() - t0:.1f}s")
-        reps = 3
+        # Time at >=250 iterations (same compiled program — maxiter is a
+        # traced argument) so the tunnel's ~22 ms per-dispatch floor doesn't
+        # inflate ms/iter (~40% at maxiter=50; see DESIGN.md).
+        probe_iters = max(250, MAX_ITER)
+        reps = 2
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = f(lappr, synd, jnp.int32(MAX_ITER))
+            out = f(lappr, synd, jnp.int32(probe_iters))
             np.asarray(out[1])
-        ms_iter = (time.perf_counter() - t0) / reps / MAX_ITER * 1e3
+        ms_iter = (time.perf_counter() - t0) / reps / probe_iters * 1e3
         E = len(vid)
         bytes_iter = (4 * E + 4 * N_CODE) * BATCH * dt.itemsize
         gbps = bytes_iter / (ms_iter * 1e-3) / 1e9
@@ -215,6 +221,47 @@ def main():
             "fer": round(r2.fer, 4), "mean_iters": round(r2.iters, 2),
             "frames_per_s": round(r2.frames_per_s, 1),
         }
+
+    # ---- 3b. min-sum secondary headline (same workload, opt-in rule) ------
+    # The default headline stays exact sum-product (the reference's math,
+    # apples-to-apples vs the scalar baseline); the normalized min-sum TPU
+    # extension is measured alongside so the capability shows up in the
+    # default JSON.  BENCH_CHECK2=none skips; if BENCH_CHECK=minsum already,
+    # this is redundant and skipped too.
+    check2 = os.environ.get("BENCH_CHECK2", "minsum")
+    if check2 != "none" and check2 != CHECK_RULE and MODE == "softening":
+        if USE_QC:
+            dec2 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                             check_rule=check2)
+        else:
+            dec2 = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS,
+                           check_rule=check2)
+        eng2 = ReconciliationEngine(dec2, mat, pa, batch=BATCH, dtype=dt,
+                                    llr_mode=LLR_MODE,
+                                    rounds_per_dispatch=RPD)
+        t0 = time.perf_counter()
+        eng2.run_point(MODE, SNR_DB, MAX_ITER, BATCH, 10 ** 9, seed=0, **kw)
+        log(f"{check2} round warmup: {time.perf_counter() - t0:.1f}s")
+        r3 = eng2.run_point(MODE, SNR_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
+                            10 ** 9, seed=1, **kw)
+        log(f"tpu @ {SNR_DB} dB ({check2}): {r3.frames} frames -> "
+            f"{r3.frames_per_s:.1f} frames/s (fer={r3.fer:.3f} "
+            f"iters={r3.iters:.1f})")
+        extras[check2] = {
+            "frames_per_s": round(r3.frames_per_s, 1),
+            "fer": round(r3.fer, 4), "mean_iters": round(r3.iters, 2),
+        }
+        if not SKIP_WATERFALL:
+            r4 = eng2.run_point(MODE, SNR2_DB, MAX_ITER,
+                                TIMED_ROUNDS * BATCH, 10 ** 9, seed=2, **kw)
+            log(f"tpu @ {SNR2_DB} dB ({check2} waterfall): "
+                f"{r4.frames_per_s:.1f} frames/s (ber={r4.ber:.2e} "
+                f"fer={r4.fer:.3f} iters={r4.iters:.1f})")
+            extras[check2]["waterfall"] = {
+                "snr_dB": SNR2_DB, "ber": float(f"{r4.ber:.3e}"),
+                "fer": round(r4.fer, 4), "mean_iters": round(r4.iters, 2),
+                "frames_per_s": round(r4.frames_per_s, 1),
+            }
 
     # ---- 4. native single-core baseline -----------------------------------
     baseline_fps = None

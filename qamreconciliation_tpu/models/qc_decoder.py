@@ -83,7 +83,8 @@ class QCDecoder:
 
     def __init__(self, base_edges, z: int, dtype=DEFAULT_DTYPE,
                  use_pallas: bool | None = None,
-                 check_rule: str = "sumproduct"):
+                 check_rule: str = "sumproduct",
+                 compressed: bool | None = None):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
@@ -95,6 +96,14 @@ class QCDecoder:
         if check_rule not in ("sumproduct", "minsum"):
             raise ValueError(f"unknown check_rule {check_rule!r}")
         self.check_rule = check_rule
+        # compressed-state min-sum loop (see _build_compressed): opt-in
+        # (None/False = dense).  Bit-identical to the dense min-sum path but
+        # MEASURED SLOWER on the v5e (1.434 vs 0.584 ms/iter at N=64800,
+        # B=128): the decode loop is VPU-elementwise-bound, not HBM-bound,
+        # and reconstruct/repack triples the elementwise work.  Kept as the
+        # measured negative result + a template for sign/magnitude-state
+        # decoders (see DESIGN.md).
+        self.compressed = compressed
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -155,6 +164,195 @@ class QCDecoder:
     # ------------------------------------------------------------------ #
 
     def _build(self):
+        if self.compressed:
+            if self.check_rule != "minsum":
+                raise ValueError(
+                    "compressed=True requires check_rule='minsum' (exact "
+                    "sum-product magnitudes are not selection-compressible)"
+                )
+            return self._build_compressed()
+        return self._build_dense()
+
+    def _build_compressed(self):
+        """Compressed-state normalized min-sum flooding loop.
+
+        Min-sum's check->variable messages are *selections*: every slot of a
+        check sees ``alpha*min1`` except the unique argmin slot, which sees
+        ``alpha*min2`` (ops/boxplus.py:minsum_extrinsic_mag).  So the dense
+        ``c2v [nb_c, dc, z, B]`` loop state collapses to three per-check
+        arrays — ``m1``/``m2`` (bf16 magnitudes, alpha pre-applied) and a
+        packed int32 ``meta`` (bits 0-2: argmin slot, 7 = tie/none; bit 3+d:
+        sign of slot d's message) — and the gathered-totals array ``t`` is
+        never materialized in HBM: each check block reconstructs its old
+        messages and consumes its rolled total slabs in one fused pass.
+        Per-iteration HBM traffic drops from ~5E+4V to ~E+2C_state+3V
+        message-widths (~2x at (3,6)).
+
+        Message values, iteration schedule, and (success, iters, final)
+        semantics are bit-identical to the dense min-sum path with the
+        fused Pallas check phase (f32 subtract of bf16-stored operands;
+        asserted in tests/test_qc_compressed.py).  Same convergence
+        semantics as reference: qamreconciliation/decoder.pyx:391-436;
+        min-sum itself is the opt-in TPU extension documented in
+        ops/boxplus.py:check_node_minsum_sm.
+        """
+        from ..ops.boxplus import MINSUM_ALPHA
+
+        z, dc = self.z, self.dc
+        nb_c, nb_v = self.nb_c, self.nb_v
+        rows = self._rows
+        dtype = self.dtype
+        alpha = MINSUM_ALPHA
+
+        def decode_batched(prior_vb, synd_cb, max_iterations):
+            """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
+            B = prior_vb.shape[1]
+            prior = prior_vb.astype(dtype).reshape(nb_v, z, B)
+            synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
+            big = jnp.asarray(1e30, jnp.float32)
+
+            def check_pass(total, m1, m2, meta):
+                """One fused gather+reconstruct+update+scatter sweep.
+
+                Returns (conv [B], m1', m2', meta', partial_sums [nb_v,z,B]).
+                """
+                acc = [None] * nb_v
+                viol = jnp.zeros((B,), jnp.int32)
+                m1n, m2n, metan = [], [], []
+                for cb, row in enumerate(rows):
+                    meta_cb = meta[cb]                       # [z, B] int32
+                    m1f = m1[cb].astype(jnp.float32)
+                    m2f = m2[cb].astype(jnp.float32)
+                    idx = meta_cb & 7
+                    t_rows, v2c_rows = [], []
+                    for d, (v, s) in enumerate(row):
+                        t_d = jnp.roll(total[v], s, axis=0).astype(
+                            jnp.float32
+                        )
+                        sgn_bit = (meta_cb >> (3 + d)) & 1
+                        c2v_old = jnp.where(
+                            idx == d, m2f, m1f
+                        ) * (1 - 2 * sgn_bit).astype(jnp.float32)
+                        t_rows.append(t_d)
+                        v2c_rows.append(t_d - c2v_old)
+                    # convergence test on the pre-update totals (parity of
+                    # hard decisions vs syndrome — decoder.pyx:251-257)
+                    par_t = (t_rows[0] < 0).astype(jnp.int32)
+                    for t_d in t_rows[1:]:
+                        par_t = par_t ^ (t_d < 0).astype(jnp.int32)
+                    viol = viol + jnp.sum(
+                        (par_t != synd[cb]).astype(jnp.int32), axis=0
+                    )
+                    # min1/min2/argmin over the dc slots (tie-correct:
+                    # minsum_extrinsic_mag semantics, ops/boxplus.py)
+                    absm = [jnp.abs(x) for x in v2c_rows]
+                    min1 = absm[0]
+                    for a in absm[1:]:
+                        min1 = jnp.minimum(min1, a)
+                    is_min = [a == min1 for a in absm]
+                    cnt = is_min[0].astype(jnp.int32)
+                    for m in is_min[1:]:
+                        cnt = cnt + m.astype(jnp.int32)
+                    min2 = jnp.where(is_min[0], big, absm[0])
+                    for a, m in zip(absm[1:], is_min[1:]):
+                        min2 = jnp.minimum(min2, jnp.where(m, big, a))
+                    idx_new = jnp.zeros_like(meta_cb)
+                    for d, m in enumerate(is_min):
+                        idx_new = idx_new + d * m.astype(jnp.int32)
+                    idx_new = jnp.where(cnt == 1, idx_new, 7)
+                    negs = [(x < 0).astype(jnp.int32) for x in v2c_rows]
+                    par = negs[0]
+                    for n in negs[1:]:
+                        par = par ^ n
+                    m1_cb = (alpha * min1).astype(dtype)
+                    m2_cb = (alpha * min2).astype(dtype)
+                    meta_new = idx_new
+                    m1_f32 = m1_cb.astype(jnp.float32)
+                    m2_f32 = m2_cb.astype(jnp.float32)
+                    for d, (v, s) in enumerate(row):
+                        sgn = par ^ negs[d] ^ synd[cb]       # 1 = negative
+                        meta_new = meta_new | (sgn << (3 + d))
+                        c2v_new = (
+                            jnp.where(idx_new == d, m2_f32, m1_f32)
+                            * (1 - 2 * sgn).astype(jnp.float32)
+                        ).astype(dtype)
+                        slab = jnp.roll(c2v_new, -s, axis=0)
+                        acc[v] = slab if acc[v] is None else acc[v] + slab
+                    m1n.append(m1_cb)
+                    m2n.append(m2_cb)
+                    metan.append(meta_new)
+                for vb in range(nb_v):
+                    if acc[vb] is None:
+                        acc[vb] = jnp.zeros((z, B), dtype)
+                return (
+                    viol == 0,
+                    jnp.stack(m1n),
+                    jnp.stack(m2n),
+                    jnp.stack(metan),
+                    jnp.stack(acc),
+                )
+
+            def consistent(total):
+                ok = jnp.zeros((B,), jnp.int32)
+                for cb, row in enumerate(rows):
+                    par_t = None
+                    for (v, s) in row:
+                        bit = (
+                            jnp.roll(total[v], s, axis=0) < 0
+                        ).astype(jnp.int32)
+                        par_t = bit if par_t is None else par_t ^ bit
+                    ok = ok + jnp.sum(
+                        (par_t != synd[cb]).astype(jnp.int32), axis=0
+                    )
+                return ok == 0
+
+            def cond(state):
+                it, _, _, _, _, _, done, _ = state
+                return jnp.logical_and(it < max_iterations, ~jnp.all(done))
+
+            def body(state):
+                it, m1, m2, meta, total, final, done, iters = state
+                conv, m1n, m2n, metan, sums = check_pass(total, m1, m2, meta)
+                newly = jnp.logical_and(conv, ~done)
+                iters_new = jnp.where(newly, it, iters)
+                done_new = jnp.logical_or(done, conv)
+                final_new = jax.lax.cond(
+                    jnp.any(newly),
+                    lambda f: jnp.where(newly[None, None, :], total, f),
+                    lambda f: f,
+                    final,
+                )
+                total_new = prior + sums
+                return (
+                    it + 1, m1n, m2n, metan, total_new, final_new,
+                    done_new, iters_new,
+                )
+
+            init = (
+                jnp.int32(0),
+                jnp.zeros((nb_c, z, B), dtype),
+                jnp.zeros((nb_c, z, B), dtype),
+                jnp.full((nb_c, z, B), 7, jnp.int32),
+                prior,
+                prior,
+                jnp.zeros(B, bool),
+                jnp.zeros(B, jnp.int32),
+            )
+            it, _, _, _, total, final, done, iters = jax.lax.while_loop(
+                cond, body, init
+            )
+            conv = consistent(total)
+            newly = jnp.logical_and(conv, ~done)
+            iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
+            final = jnp.where(newly[None, None, :], total, final)
+            done = jnp.logical_or(done, conv)
+            iters = jnp.where(done, iters, max_iterations)
+            final = jnp.where(done[None, None, :], final, total)
+            return done, iters, final.reshape(nb_v * z, B)
+
+        return jax.jit(decode_batched)
+
+    def _build_dense(self):
         z, dc = self.z, self.dc
         nb_c, nb_v = self.nb_c, self.nb_v
         rows = self._rows

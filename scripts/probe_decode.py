@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--maxiter", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--check", default="sumproduct",
+                    choices=["sumproduct", "minsum"])
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -42,13 +44,15 @@ def main():
 
         z = args.n // 36
         base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
-        dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas))
+        dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas),
+                        check_rule=args.check)
     else:
         from qamreconciliation_tpu.models.decoder import Decoder
         from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc
 
         vid, cid = make_regular_ldpc(args.n, dv=3, dc=6, seed=12345)
-        dec = Decoder(vid, cid, dtype=dt, use_pallas=bool(args.pallas))
+        dec = Decoder(vid, cid, dtype=dt, use_pallas=bool(args.pallas),
+                      check_rule=args.check)
 
     rng = np.random.default_rng(0)
     lappr = jnp.asarray(rng.normal(0, 3.0, (args.n, args.batch)), dt)
@@ -68,7 +72,7 @@ def main():
     ms_iter = (time.perf_counter() - t0) / args.reps / args.maxiter * 1e3
     print(json.dumps({
         "n": args.n, "batch": args.batch, "qc": args.qc,
-        "pallas": args.pallas, "dtype": args.dtype,
+        "pallas": args.pallas, "dtype": args.dtype, "check": args.check,
         "ms_per_iter": round(ms_iter, 3),
         "decode_fps": round(args.batch / (ms_iter * args.maxiter) * 1e3, 1),
         "compile_s": round(compile_s, 1),
