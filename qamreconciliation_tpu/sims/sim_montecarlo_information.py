@@ -93,6 +93,8 @@ def main(argv=None):
     state.cleanup()
 
     if args.gnuplot:
+        # The script text is an output-artifact spec reproduced verbatim
+        # (reference: sims/sim_montecarlo_information.py:80-94).
         gnuplot_script = f"""
         set datafile separator ","
         set xlabel "E_b/N_0 [dB]"

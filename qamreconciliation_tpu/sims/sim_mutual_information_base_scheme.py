@@ -87,6 +87,8 @@ def main(argv=None):
     state.cleanup()
 
     if args.gnuplot:
+        # The script text is an output-artifact spec reproduced verbatim
+        # (reference: sims/sim_mutual_information_base_scheme.py:80-94).
         gnuplot_script = f"""
         set datafile separator ","
         set xlabel "E_b/N_0 [dB]"
