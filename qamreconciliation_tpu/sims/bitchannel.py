@@ -46,6 +46,12 @@ class BitChannelEngine:
     ):
         self.dec = dec
         self.mat = mat
+        # Prefer structure-aware syndromes (QCDecoder circulant rolls) over
+        # the expanded-graph gather, mirroring ReconciliationEngine (see
+        # engine.py and the host-roundtrip rules in DESIGN.md).  Both map
+        # word [V, B] -> synd [C, B].
+        self._synd_vb = getattr(dec, "syndrome_from_bits", None) \
+            or mat.graph.syndrome_from_bits
         self.batch = int(batch)
         self.dtype = jnp.dtype(dtype)
         self.mesh_axis = mesh_axis
@@ -82,7 +88,7 @@ class BitChannelEngine:
         def round_fn(key, max_iterations, rber, llr0):
             kw, kf = jax.random.split(key)
             word = jax.random.bernoulli(kw, 0.5, (B, N)).astype(jnp.int32)
-            synd = self.mat.eval_syndrome(word)
+            synd = self._synd_vb(word.T).T
             flipped = jax.random.bernoulli(kf, rber, (B, N)).astype(jnp.int32)
             rx = word ^ flipped
             lappr = llr0.astype(dtype) * (1.0 - 2.0 * rx).astype(dtype)
@@ -112,7 +118,7 @@ class BitChannelEngine:
         def round_fn(key, max_iterations, vsqrt, inv_v_alpha2, llr0):
             kw, kn = jax.random.split(key)
             word = jax.random.bernoulli(kw, 0.5, (B, N)).astype(jnp.int32)
-            synd = self.mat.eval_syndrome(word)
+            synd = self._synd_vb(word.T).T
             tx = (1.0 - 2.0 * word).astype(dtype)
             rx = tx + vsqrt.astype(dtype) * jax.random.normal(kn, (B, N), dtype)
             if hard:

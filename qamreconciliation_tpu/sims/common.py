@@ -84,3 +84,43 @@ def engine_kwargs(args):
 
         kw["mesh_axis"] = (make_mesh(args.devices), "dp")
     return kw
+
+
+def add_qc_arg(parser: argparse.ArgumentParser):
+    """--qc flag shared by every decoder-driving sweep CLI (TPU extension:
+    the reference's CLIs only read expanded edge lists)."""
+    parser.add_argument(
+        "--qc", action="store_true",
+        help="Treat EDGEFILE as a quasi-cyclic base-edge CSV "
+        "(eid,cb,vb,shift with a (n_edges,z,nb_c) totals row) and decode "
+        "with the circulant-roll QCDecoder (~2x faster BP loop)",
+    )
+
+
+def load_decoder(args):
+    """Build the decoder named by ``args.edgefile`` (+ ``--qc``).
+
+    Returns ``(dec, vid, cid)`` with the expanded edge list either way, so
+    callers can build a :class:`~qamreconciliation_tpu.models.matrix.Matrix`
+    and reuse the CSV first-row convention
+    (reference: sims/sim_reconciliation.py:50, 60-61).
+    """
+    import numpy as np
+
+    if getattr(args, "qc", False):
+        from ..models.qc_decoder import QCDecoder, load_qc_csv
+
+        base_edges, z = load_qc_csv(args.edgefile)
+        dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
+                        check_rule=args.check_rule)
+        return dec, dec.graph.e_to_v, dec.graph.e_to_c
+    from ..models.decoder import Decoder
+    from ..utils.edgefile import load_edge_csv
+
+    vid, cid = load_edge_csv(
+        args.edgefile,
+        num_data_first_row=getattr(args, "first_row", True),
+    )
+    dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
+                  check_rule=args.check_rule)
+    return dec, vid, cid

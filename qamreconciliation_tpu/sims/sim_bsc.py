@@ -9,12 +9,13 @@ import argparse
 
 import numpy as np
 
-from ..models.decoder import Decoder
 from ..models.matrix import Matrix
 from ..utils.checkpoint import SweepState
-from ..utils.edgefile import load_edge_csv
 from .bitchannel import BitChannelEngine
-from .common import init_runtime as common_init_runtime, add_engine_args, engine_kwargs
+from .common import (
+    add_engine_args, add_qc_arg, engine_kwargs, load_decoder,
+    init_runtime as common_init_runtime,
+)
 
 
 def build_parser():
@@ -33,6 +34,7 @@ def build_parser():
     parser.add_argument("--simloops", default=30, type=int)
     parser.add_argument("--rber", type=float, nargs=2, default=[0.01, 0.04])
     parser.add_argument("--rpoints", type=int, default=31)
+    add_qc_arg(parser)
     add_engine_args(parser)
     return parser
 
@@ -40,9 +42,7 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     common_init_runtime()
-    vid, cid = load_edge_csv(args.edgefile, num_data_first_row=args.first_row)
-    dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
-                  check_rule=args.check_rule)
+    dec, vid, cid = load_decoder(args)
     mat = Matrix(vid, cid)
     kw = engine_kwargs(args)
     kw.pop("llr_mode", None)

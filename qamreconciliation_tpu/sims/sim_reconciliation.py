@@ -21,12 +21,13 @@ import argparse
 import numpy as np
 
 from ..models.alphabet import PAMAlphabet
-from ..models.decoder import Decoder
 from ..models.matrix import Matrix
 from ..sims.engine import ReconciliationEngine
 from ..utils.checkpoint import SweepState
-from ..utils.edgefile import load_edge_csv
-from .common import init_runtime as common_init_runtime, add_engine_args, engine_kwargs
+from .common import (
+    add_engine_args, engine_kwargs, load_decoder,
+    init_runtime as common_init_runtime,
+)
 
 
 def build_parser():
@@ -89,17 +90,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     common_init_runtime()
 
-    if args.qc:
-        from ..models.qc_decoder import QCDecoder, load_qc_csv
-
-        base_edges, z = load_qc_csv(args.edgefile)
-        dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
-                        check_rule=args.check_rule)
-        vid, cid = dec.graph.e_to_v, dec.graph.e_to_c
-    else:
-        vid, cid = load_edge_csv(args.edgefile)
-        dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
-                      check_rule=args.check_rule)
+    dec, vid, cid = load_decoder(args)
     if args.graph_shard:
         if args.qc or args.point_batch:
             raise SystemExit(

@@ -76,6 +76,45 @@ def test_sim_bsc(edgefile, tmp_path):
     assert len(got) == 2
 
 
+def test_sim_bsc_qc(tmp_path):
+    """--qc on the BSC sweep: QC base-edge CSV drives the circulant-roll
+    decoder + roll syndromes through the BitChannelEngine (TPU extension;
+    reference sim_bsc.py reads expanded edge lists only)."""
+    from qamreconciliation_tpu.models.qc_decoder import make_qc_ldpc, save_qc_csv
+    from qamreconciliation_tpu.sims import sim_bsc
+
+    qcfile = str(tmp_path / "qc.csv")
+    base, vid, cid = make_qc_ldpc(12, 8, dv=3, dc=6, seed=3)
+    save_qc_csv(qcfile, base, 8)
+    out = str(tmp_path / "bsc_qc.csv")
+    sim_bsc.main([
+        qcfile, "--qc", "--out", out, "--maxiter", "10", "--simloops", "64",
+        "--rber", "0.01", "0.02", "--rpoints", "2", "--batch", "32",
+    ])
+    got = pd.read_csv(out, index_col=0)
+    assert list(got.columns) == ["f", "ber", "fer", "iters"]
+    assert len(got) == 2
+    assert (got.ber <= 1).all() and (got.ber >= 0).all()
+
+
+def test_sim_decode_qc(tmp_path):
+    """--qc on the BI-AWGN sweep (soft and hard LLR flavors)."""
+    from qamreconciliation_tpu.models.qc_decoder import make_qc_ldpc, save_qc_csv
+    from qamreconciliation_tpu.sims import sim_decode
+
+    qcfile = str(tmp_path / "qc.csv")
+    base, vid, cid = make_qc_ldpc(12, 8, dv=3, dc=6, seed=3)
+    save_qc_csv(qcfile, base, 8)
+    out = str(tmp_path / "dec_qc.csv")
+    sim_decode.main([
+        qcfile, "--qc", "--out", out, "--maxiter", "10", "--simloops", "64",
+        "--snr", "3", "3", "--nsnr", "1", "--batch", "32", "--hard",
+    ])
+    got = pd.read_csv(out, index_col=0)
+    assert list(got.columns) == ["EbN0dB", "ber", "fer", "iters"]
+    assert len(got) == 1
+
+
 def test_sim_decode_and_direct(edgefile, tmp_path):
     from qamreconciliation_tpu.sims import sim_decode, sim_direct
 
