@@ -119,3 +119,25 @@ def test_stream_single_compiled_program(chain):
     sr_b, _, res_b = _run_stream(chain, lambda total: [total], seed=7)
     assert sr_b._bob_jit._cache_size() == 1
     assert res_a.success == res_b.success
+
+
+def test_stream_with_qc_decoder():
+    """StreamReconciler works with the circulant-roll QCDecoder (duck-typed
+    via _build_decode, like the sweep engines)."""
+    from qamreconciliation_tpu.models.qc_decoder import QCDecoder, make_qc_ldpc
+
+    base, vid, cid = make_qc_ldpc(12, 16, dv=3, dc=6, seed=4)
+    dec = QCDecoder(base, 16, dtype=jnp.float64)
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    snr = 9.0
+    N0 = pa.variance * 10 ** (-snr / 10) / 2
+    nm = NoiseMapper(pa, N0, dtype=jnp.float64)
+    sr = StreamReconciler(dec, mat, pa, nm, batch=3)
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, pa.order, 5 * sr.N_symb)
+    y = pa.constellation[x] + np.sqrt(N0) * rng.standard_normal(x.size)
+    w, synd, nh = sr.bob_process(y)
+    assert w.shape[0] == 5
+    res = StreamReconciler.alice_process(sr, nh, x, synd, max_iterations=30)
+    assert sum(res.success) > len(res.success) // 2
