@@ -170,3 +170,25 @@ def test_lazy_llr_table_not_built_for_non_table_paths():
     r = eng.run_point("softening", 5.0, 10, 8, 10**9,
                       nmconfig=np.zeros(4, np.uint8))
     assert 0.0 <= r.ber <= 1.0
+
+
+def test_point_batched_sweep_with_qc_decoder():
+    """--point-batch composes with the QC roll decoder (run_sweep_batched
+    vmaps the round over stacked NoiseMapper pytrees; the decoder rides in
+    the closure regardless of its message-movement strategy)."""
+    from qamreconciliation_tpu.models.qc_decoder import QCDecoder, make_qc_ldpc
+
+    base, vid, cid = make_qc_ldpc(12, 16, dv=3, dc=6, seed=4)
+    dec = QCDecoder(base, 16)
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    eng = ReconciliationEngine(dec, mat, pa, batch=8)
+    snrs = [4.0, 5.0]
+    res = eng.run_sweep_batched(
+        "softening", snrs, 15, 16, 10**9,
+        nmconfig=np.zeros(4, np.uint8), seed=3,
+    )
+    assert [r.snr_dB for r in res] == snrs
+    for r in res:
+        assert r.frames == 16 and 0.0 <= r.ber <= 1.0
+        assert r.fer >= r.ber  # a frame error needs >= 1 bit error
