@@ -78,7 +78,7 @@ def build_parser():
                         "with frame-shard DP and --point-batch")
     parser.add_argument("--point-batch", action="store_true",
                         help="Advance ALL SNR points per device dispatch "
-                        "(vmapped over the grid; fastest for full sweeps). "
+                        "(vmapped over the grid; fastest for small-N full sweeps — at DVB-S2 scale the HBM-constrained per-point batch underfills the lane dim and sequential sweeps win, see BASELINE.md). "
                         "The journal's frames_per_s then reports the "
                         "grid-AGGREGATE throughput, identical on every row "
                         "(points share each dispatch)")
