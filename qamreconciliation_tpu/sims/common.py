@@ -95,6 +95,13 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "(eid,cb,vb,shift with a (n_edges,z,nb_c) totals row) and decode "
         "with the circulant-roll QCDecoder (~2x faster BP loop)",
     )
+    parser.add_argument(
+        "--lift-qc", action="store_true",
+        help="Detect circulant (quasi-cyclic) structure in an EXPANDED "
+        "edge-list CSV — the format real standards like DVB-S2/5G ship in — "
+        "and lift it onto the roll QCDecoder; falls back to the generic "
+        "decoder with a warning if no lifting exists",
+    )
 
 
 def load_decoder(args):
@@ -121,6 +128,28 @@ def load_decoder(args):
         args.edgefile,
         num_data_first_row=getattr(args, "first_row", True),
     )
+    if getattr(args, "lift_qc", False):
+        from ..models.qc_decoder import QCDecoder, detect_qc
+
+        lifted = detect_qc(vid, cid)
+        if lifted is not None:
+            base_edges, z = lifted
+            try:
+                dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
+                                check_rule=args.check_rule)
+                print(f"[lift-qc] detected z={z} circulant lifting "
+                      f"({len(base_edges)} base edges)")
+                return dec, vid, cid
+            except ValueError as e:   # e.g. non-uniform check-block degree
+                import warnings
+
+                warnings.warn(f"--lift-qc: lifting found but unusable "
+                              f"({e}); using the generic decoder")
+        else:
+            import warnings
+
+            warnings.warn("--lift-qc: no circulant structure detected; "
+                          "using the generic decoder")
     dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
                   check_rule=args.check_rule)
     return dec, vid, cid

@@ -25,7 +25,7 @@ from ..models.matrix import Matrix
 from ..sims.engine import ReconciliationEngine
 from ..utils.checkpoint import SweepState
 from .common import (
-    add_engine_args, engine_kwargs, load_decoder,
+    add_engine_args, add_qc_arg, engine_kwargs, load_decoder,
     init_runtime as common_init_runtime,
 )
 
@@ -39,12 +39,7 @@ def build_parser():
         "edgefile",
         help="CSV with a 'vid' and a 'cid' columns representing an edge per line",
     )
-    parser.add_argument(
-        "--qc", action="store_true",
-        help="Treat EDGEFILE as a quasi-cyclic base-edge CSV (eid,cb,vb,shift"
-        " with a (n_edges,z,nb_c) totals row) and decode with the circulant-"
-        "roll QCDecoder (~2x faster BP loop)",
-    )
+    add_qc_arg(parser)
     parser.add_argument("--out", default="out.csv")
     parser.add_argument("--maxiter", default=50, type=int,
                         help="Maximum number of iterations for the decoder")

@@ -104,3 +104,44 @@ def test_qc_roll_syndrome_matches_generic_gather():
     got = np.asarray(dec.syndrome_from_bits(w))
     ref = np.asarray(dec.graph.syndrome_from_bits(w))
     assert np.array_equal(got, ref)
+
+
+def test_detect_qc_roundtrip(qc):
+    """detect_qc recovers the exact lifting from an expanded edge list."""
+    from qamreconciliation_tpu.models.qc_decoder import detect_qc
+
+    base, vid, cid = qc
+    got = detect_qc(vid, cid)
+    assert got is not None
+    got_base, got_z = got
+    assert got_z == 16
+    assert sorted(got_base) == sorted(base)
+
+
+def test_detect_qc_lifted_decoder_matches_generic(qc):
+    """A decoder lifted from the expanded list decodes identically to the
+    generic decoder on the same edges."""
+    from qamreconciliation_tpu.models.qc_decoder import detect_qc
+
+    base, vid, cid = qc
+    got_base, got_z = detect_qc(vid, cid)
+    qdec = QCDecoder(got_base, got_z, dtype=jnp.float64)
+    gdec = Decoder(vid, cid, dtype=jnp.float64)
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(2)
+    B = 4
+    word = rng.integers(0, 2, (B, qdec.vnum))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 2.0, (B, qdec.vnum))
+    s1, i1, f1 = gdec.decode_batch(llr, synd, 25)
+    s2, i2, f2 = qdec.decode_batch(llr, synd, 25)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_detect_qc_rejects_unstructured():
+    from qamreconciliation_tpu.models.qc_decoder import detect_qc
+    from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc
+
+    vid, cid = make_regular_ldpc(120, 3, 6, seed=9)
+    assert detect_qc(vid, cid) is None
