@@ -85,12 +85,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     common_init_runtime()
 
+    if args.graph_shard and (args.qc or args.lift_qc or args.point_batch):
+        raise SystemExit(
+            "--graph-shard is mutually exclusive with "
+            "--qc/--lift-qc/--point-batch"
+        )
     dec, vid, cid = load_decoder(args)
     if args.graph_shard:
-        if args.qc or args.point_batch:
-            raise SystemExit(
-                "--graph-shard is mutually exclusive with --qc/--point-batch"
-            )
         from ..parallel import make_mesh
         from ..parallel.graph_shard import ShardedDecoder
 
