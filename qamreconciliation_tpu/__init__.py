@@ -17,6 +17,10 @@ Public API mirrors the reference package root
 
     Decoder, Matrix, NoiseMapper, NoiseDemapper, NoiseMapperFlipSign,
     NoiseMapperAntiFlipSign, PAMAlphabet
+
+TPU extensions exported alongside: ``QCDecoder`` (circulant-roll decoder
+for quasi-cyclic codes) and ``detect_qc`` (recover the circulant lifting
+from an expanded edge list).
 """
 
 from .models.alphabet import PAMAlphabet
@@ -28,6 +32,7 @@ from .models.noisemapper import (
     NoiseMapperFlipSign,
     NoiseMapperAntiFlipSign,
 )
+from .models.qc_decoder import QCDecoder, detect_qc
 
 __all__ = [
     "Decoder",
@@ -38,6 +43,8 @@ __all__ = [
     "NoiseMapperFlipSign",
     "NoiseMapperAntiFlipSign",
     "PAMAlphabet",
+    "QCDecoder",
+    "detect_qc",
 ]
 
 __version__ = "0.1.0"
