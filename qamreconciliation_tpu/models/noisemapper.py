@@ -87,6 +87,7 @@ class NoiseMapper:
         n_intervals_per_step: int = 1000,
         dtype=DEFAULT_DTYPE,
         ref_compat_fy_grid: bool = False,
+        device: bool = True,
     ):
         if noise_var <= 0:
             raise ValueError(
@@ -190,27 +191,35 @@ class NoiseMapper:
         # bottom of this file) and one compiled round function serves a whole
         # SNR sweep without retracing.
         dt = self.dtype
-        self._F_thr = jnp.asarray(F_thr, dt)
-        self._delta_F_Y = jnp.asarray(delta_F_Y, dt)
-        self._fwd = jnp.asarray(fwd, dt)
-        self._back = jnp.asarray(back, dt)
-        self._bare_llr = jnp.asarray(bare, dt)
-        self._inf_erf = jnp.asarray(inf_erf, dt)
-        self._c = jnp.asarray(c, dt)
-        self._thr_interior = jnp.asarray(thr[1:M], dt)
-        self._p = jnp.asarray(p, dt)
-        self._log_p = jnp.asarray(np.log(p), dt)
-        self._sign_cfg = jnp.asarray(self.sign_config.astype(np.bool_))
+        # ``device=False`` keeps the leaves as HOST numpy arrays: on remote-
+        # tunnel backends every eager jnp.asarray is a device roundtrip, so
+        # mass enumeration (the 32,896-config sign study) constructs mappers
+        # host-only and pays ONE transfer when the stacked chunk pytree
+        # enters the jitted estimator.  Numpy leaves are valid jit arguments;
+        # keep the default True for sweep engines, where resident device
+        # leaves avoid a re-upload per dispatch.
+        A = jnp.asarray if device else np.asarray
+        self._F_thr = A(F_thr, dt)
+        self._delta_F_Y = A(delta_F_Y, dt)
+        self._fwd = A(fwd, dt)
+        self._back = A(back, dt)
+        self._bare_llr = A(bare, dt)
+        self._inf_erf = A(inf_erf, dt)
+        self._c = A(c, dt)
+        self._thr_interior = A(thr[1:M], dt)
+        self._p = A(p, dt)
+        self._log_p = A(np.log(p), dt)
+        self._sign_cfg = A(self.sign_config.astype(np.bool_))
         # Uniform-in-CDF inverse of the marginal CDF grid, for O(1) g_inv.
         self._inv_K = 1 << 14
         y_of_u = np.interp(
             np.linspace(0.0, 1.0, self._inv_K), F_Y_grid, y_range
         )
-        self._y_of_u = jnp.asarray(y_of_u, dt)
-        self._bits_mask = jnp.asarray(bits, dt)               # [M, bps]
+        self._y_of_u = A(y_of_u, dt)
+        self._bits_mask = A(bits, dt)               # [M, bps]
         # SNR-dependent scalars as device leaves (not trace-time constants).
-        self._sigma_dev = jnp.asarray(self._sigma, dt)
-        self._noise_var_dev = jnp.asarray(self.noise_var, dt)
+        self._sigma_dev = A(self._sigma, dt)
+        self._noise_var_dev = A(self.noise_var, dt)
         # Alphabet decision thresholds as a hashable host tuple
         # (SNR-independent -> safe as jit static data).
         self._thr_tuple = tuple(float(t) for t in thr[1:-1])

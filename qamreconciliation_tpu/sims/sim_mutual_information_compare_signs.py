@@ -105,8 +105,14 @@ def main(argv=None):
         if args.montecarlo:
             # all configs advance per dispatch: stacked mapper pytrees +
             # the vmapped one-program estimator (chunked to bound memory)
+            # device=False: host-numpy leaves.  Eager ctors put ~15 tables
+            # each on the device, so 32,896 of them serialize ~500k transfers
+            # (one roundtrip each on remote-tunnel backends); host-only
+            # construction is 7 ms/mapper and the stacked chunk pytree pays
+            # one transfer per leaf when it enters the jitted estimator.
             nms = [
-                NoiseMapper(pa, N0, config_array[k], dtype=np.float64)
+                NoiseMapper(pa, N0, config_array[k], dtype=np.float64,
+                            device=False)
                 for k in range(config_count)
             ]
             p_Xhats = np.stack([P_xhat(nm) for nm in nms])
