@@ -392,3 +392,35 @@ def test_demap_lappr_table_mode_close_to_interp(setup):
     b = np.asarray(nm.demap_lappr_array(n, j, mode="table"))
     rel = np.abs(a - b) / (np.abs(a) + 1e-3)
     assert rel.max() < 2e-3, rel.max()
+
+
+def test_host_leaf_mapper_matches_device_mapper():
+    """NoiseMapper(device=False) keeps numpy leaves and produces the same
+    batched-MC values as the default device-leaf mapper (the mass-
+    enumeration path of the sign study)."""
+    import jax
+    import numpy as np
+
+    from qamreconciliation_tpu.models.alphabet import PAMAlphabet
+    from qamreconciliation_tpu.models.mutual_information import (
+        P_xhat, montecarlo_information_batched,
+    )
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+
+    pa = PAMAlphabet(2, 2.0)
+    cfg = np.array([0, 1, 0, 1], np.uint8)
+    host = NoiseMapper(pa, 0.2, cfg, dtype=np.float64, device=False)
+    dev = NoiseMapper(pa, 0.2, cfg, dtype=np.float64)
+    assert isinstance(host._fwd, np.ndarray)
+    leaves = jax.tree_util.tree_leaves(host)
+    assert any(isinstance(x, np.ndarray) for x in leaves)
+    keys = jax.random.split(jax.random.key(3), 2)
+    out_h = montecarlo_information_batched(
+        keys, pa, [host, host], np.stack([P_xhat(host)] * 2), 256,
+        which=(True, True, True),
+    )
+    out_d = montecarlo_information_batched(
+        keys, pa, [dev, dev], np.stack([P_xhat(dev)] * 2), 256,
+        which=(True, True, True),
+    )
+    np.testing.assert_allclose(out_h, out_d, rtol=1e-12, atol=1e-12)
