@@ -34,6 +34,7 @@ Deliberate deviations from reference quirks (SURVEY.md §2 "quirks"):
 
 from __future__ import annotations
 
+import copy
 import functools
 
 import numpy as np
@@ -242,6 +243,37 @@ class NoiseMapper:
         # gather-free piecewise-Chebyshev LLR coefficients (lazy, see
         # _ensure_llr_poly)
         self._llr_poly = None
+
+    def with_sign_config(self, sign_config) -> "NoiseMapper":
+        """Cheap variant of this mapper with a different sign configuration.
+
+        ``sign_config`` only parameterizes the monotonicity *direction* of
+        g/g_inv at read time (reference: noisemapper.pyx:289-307); none of
+        the constructor tables (CDF grids, transition matrices, bare-LLR /
+        inverse-CDF tables) depend on it.  Mass enumerations — the sign
+        study's 32,896 configurations at bps=4 (reference:
+        sims/sim_mutual_information_compare_signs.py:67-95) — therefore
+        build ONE mapper per SNR point and clone per configuration: every
+        table leaf is shared by reference, only ``sign_config``/``_sign_cfg``
+        is replaced.  The lazy LLR caches (``_llr_tab``/``_llr_poly``) DO
+        bake in the sign directions, so they reset to unbuilt in the clone.
+
+        Host-leaf mappers (``device=False``) produce host-leaf clones.
+        """
+        M = self.order
+        cfg = np.asarray(sign_config, dtype=np.uint8).reshape(-1)
+        if cfg.size < M:
+            raise ValueError(
+                "Not enough data for a monotonicity sign configuration"
+            )
+        cfg = cfg[:M]
+        clone = copy.copy(self)
+        clone.sign_config = cfg
+        A = np.asarray if isinstance(self._sign_cfg, np.ndarray) else jnp.asarray
+        clone._sign_cfg = A(cfg.astype(np.bool_))
+        clone._llr_tab = None
+        clone._llr_poly = None
+        return clone
 
     def _llr_eval_f64(self, n_full):
         """Exact float64 softening LLRs on an arbitrary n-grid.

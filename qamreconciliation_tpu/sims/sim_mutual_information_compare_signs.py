@@ -102,20 +102,24 @@ def main(argv=None):
             rows.append(tuple([prev["point"]] + list(prev["values"])))
             continue
         N0 = Es * (10 ** (-esn0db / 10)) / 2
+        # ONE table build per SNR point: no constructor table depends on the
+        # sign configuration (it only flips g/g_inv direction at read time),
+        # so the enumeration clones the base mapper per config — every table
+        # leaf shared by reference (NoiseMapper.with_sign_config).
+        # device=False: host-numpy leaves.  Eager ctors put ~15 tables
+        # each on the device, so 32,896 of them serialize ~500k transfers
+        # (one roundtrip each on remote-tunnel backends); the stacked chunk
+        # pytree pays one transfer per leaf when it enters the jitted
+        # estimator.
+        base_nm = NoiseMapper(pa, N0, dtype=np.float64, device=False)
+        nms = [base_nm.with_sign_config(config_array[k])
+               for k in range(config_count)]
         if args.montecarlo:
             # all configs advance per dispatch: stacked mapper pytrees +
-            # the vmapped one-program estimator (chunked to bound memory)
-            # device=False: host-numpy leaves.  Eager ctors put ~15 tables
-            # each on the device, so 32,896 of them serialize ~500k transfers
-            # (one roundtrip each on remote-tunnel backends); host-only
-            # construction is 7 ms/mapper and the stacked chunk pytree pays
-            # one transfer per leaf when it enters the jitted estimator.
-            nms = [
-                NoiseMapper(pa, N0, config_array[k], dtype=np.float64,
-                            device=False)
-                for k in range(config_count)
-            ]
-            p_Xhats = np.stack([P_xhat(nm) for nm in nms])
+            # the vmapped one-program estimator (chunked to bound memory).
+            # P{Xhat} is sign-independent: compute once, broadcast.
+            p_base = P_xhat(base_nm)
+            p_Xhats = np.broadcast_to(p_base, (config_count, p_base.size))
             acc = np.zeros(config_count)
             key = jax.random.key(args.seed + 104729 * i)
             CH = max(1, min(args.config_chunk, config_count))
@@ -139,12 +143,10 @@ def main(argv=None):
                 acc[lo:hi] = acc_c[:take] / args.nloops
             values = [float(v) for v in acc]
         else:
-            values = []
-            for k in range(config_count):
-                nm = NoiseMapper(pa, N0, config_array[k], dtype=np.float64)
-                values.append(
-                    mutual_information_base_scheme(nm, P_xhat(nm))
-                )
+            p_base = P_xhat(base_nm)
+            values = [
+                mutual_information_base_scheme(nm, p_base) for nm in nms
+            ]
         state.record(esn0db, dict(values=values))
         rows.append(tuple([float(esn0db)] + values))
         print(f"[EsN0dB={esn0db:.3f}] done")

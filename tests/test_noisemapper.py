@@ -424,3 +424,60 @@ def test_host_leaf_mapper_matches_device_mapper():
         which=(True, True, True),
     )
     np.testing.assert_allclose(out_h, out_d, rtol=1e-12, atol=1e-12)
+
+
+def test_with_sign_config_clone_matches_fresh_ctor():
+    """with_sign_config shares every table leaf with the base mapper and is
+    indistinguishable from a fresh constructor call with the same config —
+    the mass-enumeration fast path of the sign study (reference:
+    sims/sim_mutual_information_compare_signs.py:67-95)."""
+    import jax
+    import numpy as np
+
+    from qamreconciliation_tpu.models.alphabet import PAMAlphabet
+    from qamreconciliation_tpu.models.mutual_information import (
+        P_xhat, montecarlo_information_batched,
+        mutual_information_base_scheme,
+    )
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+
+    pa = PAMAlphabet(2, 2.0)
+    cfg = np.array([1, 0, 0, 1], np.uint8)
+    base = NoiseMapper(pa, 0.2, dtype=np.float64, device=False)
+    clone = base.with_sign_config(cfg)
+    fresh = NoiseMapper(pa, 0.2, cfg, dtype=np.float64, device=False)
+
+    # every non-sign table leaf is shared BY REFERENCE with the base mapper
+    np.testing.assert_array_equal(clone.sign_config, cfg)
+    assert clone._fwd is base._fwd and clone._y_of_u is base._y_of_u
+    assert isinstance(clone._sign_cfg, np.ndarray)  # host-leaf preserved
+    assert clone._llr_tab is None and clone._llr_poly is None
+    assert base.sign_config.max() == 0  # base unmodified
+
+    # identical flattened leaves vs the fresh constructor
+    lc = jax.tree_util.tree_leaves(clone)
+    lf = jax.tree_util.tree_leaves(fresh)
+    assert len(lc) == len(lf)
+    for a, b in zip(lc, lf):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # MC-identical through the batched estimator
+    keys = jax.random.split(jax.random.key(7), 2)
+    p = np.stack([P_xhat(base)] * 2)
+    out_c = montecarlo_information_batched(
+        keys, pa, [clone, clone], p, 256, which=(True, True, True))
+    out_f = montecarlo_information_batched(
+        keys, pa, [fresh, fresh], p, 256, which=(True, True, True))
+    np.testing.assert_allclose(out_c, out_f, rtol=1e-12, atol=1e-12)
+
+    # analytic-identical (host quad path reads sign_config on the host)
+    np.testing.assert_allclose(
+        mutual_information_base_scheme(clone, P_xhat(base)),
+        mutual_information_base_scheme(fresh, P_xhat(fresh)),
+        rtol=1e-12,
+    )
+
+    # the device-leaf flavor clones to device leaves
+    dev = NoiseMapper(pa, 0.2, dtype=np.float64)
+    dclone = dev.with_sign_config(cfg)
+    assert not isinstance(dclone._sign_cfg, np.ndarray)
