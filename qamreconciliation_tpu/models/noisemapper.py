@@ -103,7 +103,11 @@ class NoiseMapper:
                 raise ValueError(
                     "Not enough data for a monotonicity sign configuration"
                 )
-            self.sign_config = self.sign_config[:M]
+            # Own the array: np.asarray may return a view into caller memory
+            # (e.g. a row of a config enumeration), and the host analytic
+            # paths read self.sign_config lazily — a later caller-side
+            # mutation must not desync them from the device _sign_cfg copy.
+            self.sign_config = self.sign_config[:M].copy()
 
         self.dtype = jnp.dtype(dtype)
         self.alphabet = pa
@@ -266,7 +270,9 @@ class NoiseMapper:
             raise ValueError(
                 "Not enough data for a monotonicity sign configuration"
             )
-        cfg = cfg[:M]
+        # Own the array (see __init__): host paths read clone.sign_config
+        # lazily, so it must not alias caller memory.
+        cfg = cfg[:M].copy()
         clone = copy.copy(self)
         clone.sign_config = cfg
         A = np.asarray if isinstance(self._sign_cfg, np.ndarray) else jnp.asarray

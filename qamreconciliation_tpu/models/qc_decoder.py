@@ -85,7 +85,8 @@ class QCDecoder:
     def __init__(self, base_edges, z: int, dtype=DEFAULT_DTYPE,
                  use_pallas: bool | None = None,
                  check_rule: str = "sumproduct",
-                 compressed: bool | None = None):
+                 compressed: bool | None = None,
+                 schedule: str = "flooding"):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
@@ -105,6 +106,16 @@ class QCDecoder:
         # measured negative result + a template for sign/magnitude-state
         # decoders (see DESIGN.md).
         self.compressed = compressed
+        # "flooding" (the reference's schedule, decoder.pyx:424-433) |
+        # "layered" (row-layered / serial-C over check blocks — a TPU
+        # extension: converges in roughly half the sweeps for the same
+        # quality, see _build_layered)
+        if schedule not in ("flooding", "layered"):
+            raise ValueError(f"unknown schedule {schedule!r}")
+        if schedule == "layered" and compressed:
+            raise ValueError("compressed=True supports only the flooding "
+                             "schedule")
+        self.schedule = schedule
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -172,6 +183,8 @@ class QCDecoder:
                     "sum-product magnitudes are not selection-compressible)"
                 )
             return self._build_compressed()
+        if self.schedule == "layered":
+            return self._build_layered()
         return self._build_dense()
 
     def _build_compressed(self):
@@ -347,6 +360,127 @@ class QCDecoder:
             iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
             final = jnp.where(newly[None, None, :], total, final)
             done = jnp.logical_or(done, conv)
+            iters = jnp.where(done, iters, max_iterations)
+            final = jnp.where(done[None, None, :], final, total)
+            return done, iters, final.reshape(nb_v * z, B)
+
+        return jax.jit(decode_batched)
+
+    def _build_layered(self):
+        """Row-layered (serial-C) schedule over the check blocks.
+
+        TPU extension over the reference's flooding schedule
+        (qamreconciliation/decoder.pyx:424-433): check blocks are processed
+        sequentially within one sweep, and each block's extrinsic update is
+        folded into the variable totals *immediately*, so later blocks in
+        the same sweep already see it.  Layered BP needs roughly half the
+        sweeps of flooding for the same target quality (the standard
+        hardware-decoder schedule); one "iteration" in the returned
+        ``iters`` counts one full sweep, and convergence is tested on the
+        end-of-sweep totals — the (success, iters==0 passthrough, final)
+        contract is otherwise identical to the flooding decoder.
+
+        Numerics: ``c2v`` messages are stored at ``self.dtype`` (bf16 rides
+        HBM at half width); the running totals stay float32 and are updated
+        with deltas of the *stored* (rounded) messages, so
+        ``total == prior + sum(stored c2v)`` holds to f32 addition rounding
+        across arbitrarily many sweeps — no bf16 accumulation drift.
+        """
+        from ..ops.boxplus import check_node_minsum_sm, check_node_update_sm
+
+        z, dc = self.z, self.dc
+        nb_c, nb_v = self.nb_c, self.nb_v
+        rows = self._rows
+        dtype = self.dtype
+        rule = self.check_rule
+        # totals accumulate incrementally: keep them at >= f32 (f64 parity
+        # runs keep f64 end to end)
+        acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+        ones_mask = np.ones((dc, z), np.float32)
+
+        def layer_update(v2c_f32, synd_cb):
+            """v2c [dc, z, B] f32, synd [z, B] -> new c2v [dc, z, B] f32.
+
+            Reuses the slot-major check rules with an all-ones mask: the
+            layer layout [dc, z, B] is the slot-major [dc_max, C, B] with
+            C = z (full rows, no padding).
+            """
+            if rule == "minsum":
+                return check_node_minsum_sm(v2c_f32, synd_cb, ones_mask)
+            return check_node_update_sm(v2c_f32, synd_cb, ones_mask)
+
+        def decode_batched(prior_vb, synd_cb, max_iterations):
+            """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
+            B = prior_vb.shape[1]
+            prior = prior_vb.astype(acc_dtype).reshape(nb_v, z, B)
+            synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
+
+            def consistent(total):
+                """Hard-decision syndrome test on [nb_v, z, B] totals."""
+                bits = (total < 0).astype(jnp.int8)       # one sign pass
+                ok = jnp.zeros((B,), jnp.int32)
+                for cb, row in enumerate(rows):
+                    par = None
+                    for (v, s) in row:
+                        slab = jnp.roll(bits[v], s, axis=0)
+                        par = slab if par is None else par ^ slab
+                    ok = ok + jnp.sum(
+                        (par.astype(jnp.int32) != synd[cb]).astype(jnp.int32),
+                        axis=0,
+                    )
+                return ok == 0
+
+            def sweep(total, c2v):
+                for cb, row in enumerate(rows):
+                    t = jnp.stack(
+                        [jnp.roll(total[v], s, axis=0) for (v, s) in row]
+                    )                                      # [dc, z, B] acc
+                    old = c2v[cb].astype(acc_dtype)
+                    new = layer_update(t - old, synd[cb])
+                    stored = new.astype(dtype)
+                    # delta of the STORED values keeps total consistent
+                    # with the bf16 state (bf16 is exact in f32)
+                    delta = stored.astype(acc_dtype) - old
+                    for d, (v, s) in enumerate(row):
+                        total = total.at[v].add(
+                            jnp.roll(delta[d], -s, axis=0)
+                        )
+                    c2v = c2v.at[cb].set(stored)
+                return total, c2v
+
+            def cond(state):
+                it, _, _, _, done, _ = state
+                return jnp.logical_and(it < max_iterations, ~jnp.all(done))
+
+            def body(state):
+                it, c2v, total, final, done, iters = state
+                total, c2v = sweep(total, c2v)
+                conv = consistent(total)
+                newly = jnp.logical_and(conv, ~done)
+                iters = jnp.where(newly, it + 1, iters)
+                done = jnp.logical_or(done, conv)
+                final = jax.lax.cond(
+                    jnp.any(newly),
+                    lambda f: jnp.where(newly[None, None, :], total, f),
+                    lambda f: f,
+                    final,
+                )
+                return it + 1, c2v, total, final, done, iters
+
+            # iters==0 passthrough for already-consistent inputs
+            # (reference: decoder.pyx:402-405)
+            conv0 = consistent(prior)
+            init = (
+                jnp.int32(0),
+                jnp.zeros((nb_c, dc, z, B), dtype),
+                prior,
+                prior,
+                conv0,
+                jnp.zeros(B, jnp.int32),
+            )
+            _, _, total, final, done, iters = jax.lax.while_loop(
+                cond, body, init
+            )
             iters = jnp.where(done, iters, max_iterations)
             final = jnp.where(done[None, None, :], final, total)
             return done, iters, final.reshape(nb_v * z, B)

@@ -96,6 +96,13 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "with the circulant-roll QCDecoder (~2x faster BP loop)",
     )
     parser.add_argument(
+        "--schedule", choices=["flooding", "layered"], default="flooding",
+        help="BP update schedule (QC decoders only): 'flooding' (the "
+        "reference's schedule) or 'layered' (row-layered serial-C over "
+        "check blocks — converges in roughly half the sweeps for the "
+        "same quality)",
+    )
+    parser.add_argument(
         "--lift-qc", action="store_true",
         help="Detect circulant (quasi-cyclic) structure in an EXPANDED "
         "edge-list CSV — the format real standards like DVB-S2/5G ship in — "
@@ -114,12 +121,13 @@ def load_decoder(args):
     """
     import numpy as np
 
+    schedule = getattr(args, "schedule", "flooding")
     if getattr(args, "qc", False):
         from ..models.qc_decoder import QCDecoder, load_qc_csv
 
         base_edges, z = load_qc_csv(args.edgefile)
         dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
-                        check_rule=args.check_rule)
+                        check_rule=args.check_rule, schedule=schedule)
         return dec, dec.graph.e_to_v, dec.graph.e_to_c
     from ..models.decoder import Decoder
     from ..utils.edgefile import load_edge_csv
@@ -136,7 +144,8 @@ def load_decoder(args):
             base_edges, z = lifted
             try:
                 dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
-                                check_rule=args.check_rule)
+                                check_rule=args.check_rule,
+                                schedule=schedule)
                 print(f"[lift-qc] detected z={z} circulant lifting "
                       f"({len(base_edges)} base edges)")
                 return dec, vid, cid
@@ -150,6 +159,12 @@ def load_decoder(args):
 
             warnings.warn("--lift-qc: no circulant structure detected; "
                           "using the generic decoder")
+    if schedule != "flooding":
+        raise SystemExit(
+            "--schedule layered requires a quasi-cyclic decoder "
+            "(--qc or a successful --lift-qc); the generic gather decoder "
+            "is flooding-only"
+        )
     dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
                   check_rule=args.check_rule)
     return dec, vid, cid

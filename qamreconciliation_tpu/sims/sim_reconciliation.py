@@ -90,6 +90,8 @@ def main(argv=None):
             "--graph-shard is mutually exclusive with "
             "--qc/--lift-qc/--point-batch"
         )
+    if args.graph_shard and args.schedule != "flooding":
+        raise SystemExit("--graph-shard supports only --schedule flooding")
     dec, vid, cid = load_decoder(args)
     if args.graph_shard:
         from ..parallel import make_mesh

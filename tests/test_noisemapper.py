@@ -481,3 +481,24 @@ def test_with_sign_config_clone_matches_fresh_ctor():
     dev = NoiseMapper(pa, 0.2, dtype=np.float64)
     dclone = dev.with_sign_config(cfg)
     assert not isinstance(dclone._sign_cfg, np.ndarray)
+
+
+def test_sign_config_owns_its_array():
+    """Mappers must not alias caller memory through sign_config: mutating
+    the caller's config array (e.g. a row of an enumeration buffer) after
+    construction/cloning must not desync the host analytic paths (which
+    read ``sign_config`` lazily) from the device ``_sign_cfg`` copy."""
+    import numpy as np
+
+    from qamreconciliation_tpu.models.alphabet import PAMAlphabet
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+
+    pa = PAMAlphabet(2, 2.0)
+    cfg = np.array([1, 0, 0, 1], np.uint8)
+    built = NoiseMapper(pa, 0.2, cfg, dtype=np.float64, device=False)
+    clone = NoiseMapper(
+        pa, 0.2, dtype=np.float64, device=False
+    ).with_sign_config(cfg)
+    cfg[:] = 0  # caller reuses its buffer
+    np.testing.assert_array_equal(built.sign_config, [1, 0, 0, 1])
+    np.testing.assert_array_equal(clone.sign_config, [1, 0, 0, 1])

@@ -145,3 +145,157 @@ def test_detect_qc_rejects_unstructured():
 
     vid, cid = make_regular_ldpc(120, 3, 6, seed=9)
     assert detect_qc(vid, cid) is None
+
+
+# --------------------------- layered schedule --------------------------- #
+
+
+def _layered_np(prior, synd, rows, z, sweeps, rule="sumproduct",
+                alpha=0.8125):
+    """Independent numpy float64 oracle of the row-layered schedule.
+
+    Same conventions as QCDecoder._build_layered: check block cb row j
+    gathers variable slab roll(total[vb], s), updates extrinsics with the
+    phi-form sum-product (or normalized min-sum) and the syndrome
+    prefactor, and folds the message delta into the totals immediately.
+    """
+    nb_v = prior.shape[0]
+    total = prior.astype(np.float64).copy()
+    c2v = [np.zeros((len(row), z, prior.shape[-1])) for row in rows]
+
+    def phi(x):
+        return -np.log(np.tanh(np.maximum(x, 1e-30) / 2.0))
+
+    for _ in range(sweeps):
+        for cb, row in enumerate(rows):
+            t = np.stack([np.roll(total[v], s, axis=0) for (v, s) in row])
+            v2c = t - c2v[cb]
+            if rule == "minsum":
+                a = np.abs(v2c)
+                min1 = a.min(axis=0, keepdims=True)
+                is_min = a == min1
+                cnt = is_min.sum(axis=0, keepdims=True)
+                min2 = np.where(is_min, 1e30, a).min(axis=0, keepdims=True)
+                mag = alpha * np.where(is_min & (cnt == 1), min2, min1)
+            else:
+                phim = phi(np.abs(v2c))
+                mag = phi(phim.sum(axis=0, keepdims=True) - phim)
+            neg = (v2c < 0).astype(np.int64)
+            parity = neg.sum(axis=0, keepdims=True) & 1
+            sign = 1 - 2 * (parity ^ neg)
+            pref = (1 - 2 * synd[cb].astype(np.int64))[None]
+            new = sign * pref * mag
+            delta = new - c2v[cb]
+            for d, (v, s) in enumerate(row):
+                total[v] += np.roll(delta[d], -s, axis=0)
+            c2v[cb] = new
+    return total
+
+
+@pytest.mark.parametrize("rule", ["sumproduct", "minsum"])
+def test_layered_matches_numpy_oracle(qc, rule):
+    """Message-exact parity of the layered device loop vs an independent
+    numpy float64 implementation of the same schedule (2 full sweeps on
+    frames too noisy to converge, so final == end-of-sweep totals)."""
+    base, vid, cid = qc
+    z = 16
+    dec = QCDecoder(base, z, dtype=jnp.float64, schedule="layered",
+                    check_rule=rule)
+    rng = np.random.default_rng(11)
+    B = 5
+    word = rng.integers(0, 2, (B, dec.vnum))
+    synd = np.asarray(Matrix(vid, cid).eval_syndrome(word))
+    llr = rng.normal(0, 2.0, (B, dec.vnum))  # ~0 dB: nothing converges
+    s, i, f = dec.decode_batch(llr, synd, 2)
+    assert not np.asarray(s).any()
+    ref = _layered_np(
+        llr.T.reshape(dec.nb_v, z, B),
+        synd.T.reshape(dec.nb_c, z, B),
+        dec._rows, z, sweeps=2, rule=rule,
+    ).reshape(dec.vnum, B)
+    np.testing.assert_allclose(np.asarray(f).T.reshape(dec.vnum, B), ref,
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_layered_semantics_and_convergence(qc):
+    """(success, iters, final) contract: iters==0 passthrough on consistent
+    input; successful frames' hard decisions satisfy the syndrome; layered
+    needs no more mean sweeps than flooding on the same decodable batch."""
+    base, vid, cid = qc
+    lay = QCDecoder(base, 16, dtype=jnp.float64, schedule="layered")
+    flo = QCDecoder(base, 16, dtype=jnp.float64)
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(3)
+    B = 8
+    word = rng.integers(0, 2, (B, lay.vnum))
+    synd = np.asarray(mat.eval_syndrome(word))
+
+    # consistent input -> iters==0 passthrough (reference decoder.pyx:402-405)
+    clean = (1 - 2 * word) * 4.0
+    s, i, f = lay.decode_batch(clean, synd, 10)
+    assert np.asarray(s).all() and (np.asarray(i) == 0).all()
+    np.testing.assert_array_equal(np.asarray(f), clean)
+
+    # decodable noise: both succeed, layered in no more mean sweeps
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 2.0, (B, lay.vnum))
+    s_l, i_l, f_l = lay.decode_batch(llr, synd, 30)
+    s_f, i_f, f_f = flo.decode_batch(llr, synd, 30)
+    assert np.asarray(s_l).sum() >= np.asarray(s_f).sum() > 0
+    ok = np.asarray(s_l) & np.asarray(s_f)
+    assert np.asarray(i_l)[ok].mean() <= np.asarray(i_f)[ok].mean()
+    # successful hard decisions satisfy the syndrome
+    bits = (np.asarray(f_l) < 0).astype(int)
+    re_synd = np.asarray(mat.eval_syndrome(bits))
+    assert (re_synd[np.asarray(s_l)] == synd[np.asarray(s_l)]).all()
+
+
+def test_layered_bf16_engine_drop_in(qc):
+    """A bf16 layered QCDecoder drives the full engine (the production
+    combination: bf16 messages, f32 totals)."""
+    base, vid, cid = qc
+    dec = QCDecoder(base, 16, dtype=jnp.bfloat16, schedule="layered",
+                    check_rule="minsum")
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    eng = ReconciliationEngine(dec, mat, pa, batch=8)
+    r = eng.run_point("softening", 4.5, 20, 16, 10**9,
+                      nmconfig=np.zeros(4, np.uint8))
+    assert 0.0 <= r.ber <= 1.0 and r.frames == 16
+
+
+def test_layered_cli(tmp_path, qc):
+    """--schedule layered runs end-to-end through sim_reconciliation with
+    --qc, and is rejected for the generic (non-QC) decoder."""
+    from qamreconciliation_tpu.models.qc_decoder import save_qc_csv
+    from qamreconciliation_tpu.sims import sim_reconciliation
+    from qamreconciliation_tpu.utils.edgefile import save_edge_csv
+
+    base, vid, cid = qc
+    path = str(tmp_path / "qc.csv")
+    save_qc_csv(path, base, 16)
+    out = str(tmp_path / "out.csv")
+    df = sim_reconciliation.main([
+        path, "--qc", "--schedule", "layered", "--check-rule", "minsum",
+        "--out", out, "--snr", "4.5", "4.5", "--nsnr", "1",
+        "--maxiter", "15", "--simloops", "16", "--ferr-count-min", "1000000",
+        "--batch", "8",
+    ])
+    assert list(df.columns) == ["EsN0dB", "ber", "fer", "iters"]
+    assert 0.0 <= float(df.ber[0]) <= 1.0
+
+    flat = str(tmp_path / "flat.csv")
+    save_edge_csv(flat, vid, cid)
+    with pytest.raises(SystemExit):
+        sim_reconciliation.main([
+            flat, "--schedule", "layered", "--out", out,
+            "--snr", "4.5", "4.5", "--nsnr", "1", "--simloops", "8",
+        ])
+
+
+def test_layered_rejects_compressed(qc):
+    base, _, _ = qc
+    with pytest.raises(ValueError):
+        QCDecoder(base, 16, schedule="layered", check_rule="minsum",
+                  compressed=True)
+    with pytest.raises(ValueError):
+        QCDecoder(base, 16, schedule="twisted")
