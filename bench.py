@@ -41,7 +41,9 @@ BENCH_RPD (rounds per device dispatch, lax.scan on-chip; default 4),
 BENCH_CHECK (check-node rule: sumproduct [default, reference math] or
 minsum [normalized min-sum TPU extension, transcendental-free]),
 BENCH_CHECK2 (secondary rule measured alongside the headline; default
-minsum, "none" to skip).
+minsum, "none" to skip), BENCH_SCHEDULE (flooding [default, reference
+schedule] or layered [QC-only row-layered serial-C sweeps, ~2x fewer
+iterations to converge]).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -60,6 +62,9 @@ MAX_ITER = int(os.environ.get("BENCH_MAXITER", 50))
 TIMED_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 8))
 RPD = int(os.environ.get("BENCH_RPD", 4))
 CHECK_RULE = os.environ.get("BENCH_CHECK", "sumproduct")
+# BP schedule: "flooding" (reference) | "layered" (QC-only TPU extension,
+# ~2x fewer sweeps to converge; see models/qc_decoder._build_layered)
+SCHEDULE = os.environ.get("BENCH_SCHEDULE", "flooding")
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 BPS = int(os.environ.get("BENCH_BPS", 2))
 MODE = os.environ.get("BENCH_MODE", "softening")
@@ -121,9 +126,11 @@ def main():
         z = N_CODE // 36
         base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
-                        check_rule=CHECK_RULE)
+                        check_rule=CHECK_RULE, schedule=SCHEDULE)
         code = f"qc(3,6) z={z} N={dec.vnum}"
     else:
+        if SCHEDULE != "flooding":
+            raise SystemExit("BENCH_SCHEDULE=layered requires BENCH_QC=1")
         vid, cid = make_regular_ldpc(N_CODE, dv=3, dc=6, seed=12345)
         dec = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS,
                       check_rule=CHECK_RULE)
@@ -135,7 +142,8 @@ def main():
 
     extras = {"code": code, "dtype": DTYPE, "bps": BPS, "mode": MODE,
               "batch": BATCH, "maxiter": MAX_ITER, "llr_mode": LLR_MODE,
-              "rounds_per_dispatch": RPD, "check_rule": CHECK_RULE}
+              "rounds_per_dispatch": RPD, "check_rule": CHECK_RULE,
+              "schedule": SCHEDULE}
 
     # ---- 1. decode-only roofline probe ------------------------------------
     if not SKIP_DECODE:

@@ -151,23 +151,28 @@ def test_detect_qc_rejects_unstructured():
 
 
 def _layered_np(prior, synd, rows, z, sweeps, rule="sumproduct",
-                alpha=0.8125):
+                alpha=0.8125, order=None):
     """Independent numpy float64 oracle of the row-layered schedule.
 
     Same conventions as QCDecoder._build_layered: check block cb row j
     gathers variable slab roll(total[vb], s), updates extrinsics with the
     phi-form sum-product (or normalized min-sum) and the syndrome
     prefactor, and folds the message delta into the totals immediately.
+    Processes blocks STRICTLY SERIALLY in ``order`` (default natural) —
+    matching this against the device's grouped sweep also proves the
+    variable-disjoint groups are message-identical to a serial schedule.
     """
     nb_v = prior.shape[0]
     total = prior.astype(np.float64).copy()
     c2v = [np.zeros((len(row), z, prior.shape[-1])) for row in rows]
+    order = list(range(len(rows))) if order is None else list(order)
 
     def phi(x):
         return -np.log(np.tanh(np.maximum(x, 1e-30) / 2.0))
 
     for _ in range(sweeps):
-        for cb, row in enumerate(rows):
+        for cb in order:
+            row = rows[cb]
             t = np.stack([np.roll(total[v], s, axis=0) for (v, s) in row])
             v2c = t - c2v[cb]
             if rule == "minsum":
@@ -261,6 +266,36 @@ def test_layered_bf16_engine_drop_in(qc):
     r = eng.run_point("softening", 4.5, 20, 16, 10**9,
                       nmconfig=np.zeros(4, np.uint8))
     assert 0.0 <= r.ber <= 1.0 and r.frames == 16
+
+
+def test_layered_chunk_invariance(qc):
+    """(success, iters, final) are EXACTLY chunk-size-invariant: the chunk
+    only amortizes the while-loop sync; detection, iteration counts, the
+    convergence-sweep capture and the failed-frame maxiter snapshot are
+    per-sweep exact (incl. maxiter not divisible by the chunk)."""
+    base, vid, cid = qc
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(17)
+    B = 16
+    word = rng.integers(0, 2, (B, 12 * 16))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 2.5 + rng.normal(0, 2.2, (B, 12 * 16))
+    outs = []
+    for K in (1, 3, 4):
+        dec = QCDecoder(base, 16, dtype=jnp.float64, schedule="layered",
+                        layered_chunk=K)
+        s, i, f = dec.decode_batch(llr, synd, 10)  # 10 % 3 != 0
+        outs.append((np.asarray(s), np.asarray(i), np.asarray(f)))
+    s0, i0, f0 = outs[0]
+    assert 0 < s0.sum() < B  # both successes and failures exercised
+    for s, i, f in outs[1:]:
+        np.testing.assert_array_equal(s, s0)
+        np.testing.assert_array_equal(i, i0)
+        np.testing.assert_array_equal(f, f0)
+    # every successful frame's captured final satisfies the syndrome
+    bits = (f0 < 0).astype(int)
+    re_synd = np.asarray(mat.eval_syndrome(bits))
+    assert (re_synd[s0] == synd[s0]).all()
 
 
 def test_layered_cli(tmp_path, qc):
