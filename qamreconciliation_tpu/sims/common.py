@@ -103,6 +103,12 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "same quality)",
     )
     parser.add_argument(
+        "--layered-chunk", type=int, default=4,
+        help="Layered schedule only: sweeps per while-loop iteration "
+        "(amortizes the per-sweep device sync; early exit coarsens to "
+        "this granularity, iters/success stay sweep-exact)",
+    )
+    parser.add_argument(
         "--lift-qc", action="store_true",
         help="Detect circulant (quasi-cyclic) structure in an EXPANDED "
         "edge-list CSV — the format real standards like DVB-S2/5G ship in — "
@@ -122,12 +128,14 @@ def load_decoder(args):
     import numpy as np
 
     schedule = getattr(args, "schedule", "flooding")
+    chunk = getattr(args, "layered_chunk", 4)
     if getattr(args, "qc", False):
         from ..models.qc_decoder import QCDecoder, load_qc_csv
 
         base_edges, z = load_qc_csv(args.edgefile)
         dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
-                        check_rule=args.check_rule, schedule=schedule)
+                        check_rule=args.check_rule, schedule=schedule,
+                        layered_chunk=chunk)
         return dec, dec.graph.e_to_v, dec.graph.e_to_c
     from ..models.decoder import Decoder
     from ..utils.edgefile import load_edge_csv
@@ -145,7 +153,7 @@ def load_decoder(args):
             try:
                 dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
                                 check_rule=args.check_rule,
-                                schedule=schedule)
+                                schedule=schedule, layered_chunk=chunk)
                 print(f"[lift-qc] detected z={z} circulant lifting "
                       f"({len(base_edges)} base edges)")
                 return dec, vid, cid
