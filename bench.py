@@ -43,7 +43,8 @@ minsum [normalized min-sum TPU extension, transcendental-free]),
 BENCH_CHECK2 (secondary rule measured alongside the headline; default
 minsum, "none" to skip), BENCH_SCHEDULE (flooding [default, reference
 schedule] or layered [QC-only row-layered serial-C sweeps, ~2x fewer
-iterations to converge]).
+iterations to converge]), BENCH_SCHED2 (secondary schedule measured at
+the waterfall point with min-sum; default layered, "none" to skip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -270,6 +271,36 @@ def main():
                 "fer": round(r4.fer, 4), "mean_iters": round(r4.iters, 2),
                 "frames_per_s": round(r4.frames_per_s, 1),
             }
+
+    # ---- 3c. layered-schedule block (QC only, opt-out) ---------------------
+    # The row-layered serial-C schedule is the latency/quality choice:
+    # ~half the sweeps to converge at the same FER (see BASELINE.md round-3
+    # table + docs/img/schedule_waterfall.png).  Measured at the waterfall
+    # point (where convergence dynamics matter) with the min-sum rule.
+    # BENCH_SCHED2=none skips; skipped automatically if the headline is
+    # already layered.
+    sched2 = os.environ.get("BENCH_SCHED2", "layered")
+    if (sched2 != "none" and sched2 != SCHEDULE and USE_QC
+            and MODE == "softening" and not SKIP_WATERFALL):
+        dec3 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                         check_rule="minsum", schedule=sched2)
+        eng3 = ReconciliationEngine(dec3, mat, pa, batch=BATCH, dtype=dt,
+                                    llr_mode=LLR_MODE,
+                                    rounds_per_dispatch=RPD)
+        t0 = time.perf_counter()
+        eng3.run_point(MODE, SNR2_DB, MAX_ITER, BATCH, 10 ** 9, seed=0, **kw)
+        log(f"{sched2} round warmup: {time.perf_counter() - t0:.1f}s")
+        r5 = eng3.run_point(MODE, SNR2_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
+                            10 ** 9, seed=2, **kw)
+        log(f"tpu @ {SNR2_DB} dB ({sched2} minsum waterfall): "
+            f"{r5.frames_per_s:.1f} frames/s (ber={r5.ber:.2e} "
+            f"fer={r5.fer:.3f} iters={r5.iters:.1f})")
+        extras[sched2] = {
+            "check_rule": "minsum", "snr_dB": SNR2_DB,
+            "ber": float(f"{r5.ber:.3e}"), "fer": round(r5.fer, 4),
+            "mean_iters": round(r5.iters, 2),
+            "frames_per_s": round(r5.frames_per_s, 1),
+        }
 
     # ---- 4. native single-core baseline -----------------------------------
     baseline_fps = None
