@@ -15,6 +15,7 @@ restarts from the per-SNR-point journal.
 """
 
 import argparse
+import time
 
 import numpy as np
 
@@ -101,6 +102,7 @@ def main(argv=None):
         if prev is not None:
             rows.append(tuple([prev["point"]] + list(prev["values"])))
             continue
+        t_point = time.perf_counter()
         N0 = Es * (10 ** (-esn0db / 10)) / 2
         # ONE table build per SNR point: no constructor table depends on the
         # sign configuration (it only flips g/g_inv direction at read time),
@@ -149,7 +151,9 @@ def main(argv=None):
             ]
         state.record(esn0db, dict(values=values))
         rows.append(tuple([float(esn0db)] + values))
-        print(f"[EsN0dB={esn0db:.3f}] done")
+        dt_s = time.perf_counter() - t_point
+        print(f"[EsN0dB={esn0db:.3f}] {config_count} configs in "
+              f"{dt_s:.1f}s ({config_count / dt_s:.0f} configs/s)")
 
     from pandas import DataFrame
 
