@@ -162,7 +162,8 @@ def main():
         # Time at >=250 iterations (same compiled program — maxiter is a
         # traced argument) so the tunnel's ~22 ms per-dispatch floor doesn't
         # inflate ms/iter (~40% at maxiter=50; see DESIGN.md).
-        probe_iters = max(250, MAX_ITER)
+        probe_iters = max(int(os.environ.get("BENCH_PROBE_ITERS", 250)),
+                          MAX_ITER)
         reps = 2
         t0 = time.perf_counter()
         for _ in range(reps):
