@@ -116,10 +116,16 @@ def _pick_zb(z: int, B: int = 128, dc: int = 6) -> int | None:
     temporaries live against the ~16 MB scoped-VMEM budget — so: the whole
     z if it fits, else the largest 8-aligned divisor of z that fits, else
     None (caller falls back to the XLA check phase; e.g. z=450=2*3^2*5^2
-    has no 8-aligned divisor and doesn't fit at B=128)."""
+    has no 8-aligned divisor and doesn't fit at B=128).
+
+    VMEM tiles pad the minormost dim to 128 lanes and the -2 dim to 8
+    sublanes, so the budget model uses the PADDED dims — with the raw B
+    a B=16 decode (e.g. a small streaming batch) under-counted 8x and
+    OOMed scoped vmem at compile time (24.45M vs the 16M limit)."""
     budget = 12 * 2 ** 20
-    cap = max(1, budget // (14 * dc * B * 4))
-    if z <= cap:
+    b_pad = -(-B // 128) * 128
+    cap = max(1, budget // (14 * dc * b_pad * 4))
+    if -(-z // 8) * 8 <= cap:
         return z
     aligned = [d for d in range(8, cap + 1, 8) if z % d == 0]
     return max(aligned) if aligned else None
@@ -214,9 +220,13 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
     # Scoped VMEM is ~16 MB; the kernel keeps ~14 [dc, CB, B] float32
     # temporaries live (f32 compute even for bf16 storage).  Cap CB so the
     # stack fits with headroom (measured: CB=512, dc=6, B=128 OOMs at
-    # 20.06M vs the 16M limit on v5e).
+    # 20.06M vs the 16M limit on v5e).  The budget counts PADDED tile dims
+    # (minor dim pads to 128 lanes — see _pick_zb's B=16 regression) and
+    # the cap stays 8-sublane-aligned so a capped CB is a legal Mosaic
+    # -2 block dim.
     vmem_budget = 12 * 2**20
-    cb_cap = max(8, vmem_budget // (14 * dc * B * 4))
+    b_pad = -(-B // 128) * 128
+    cb_cap = max(8, vmem_budget // (14 * dc * b_pad * 4) // 8 * 8)
     CB = min(block_c, C, cb_cap)
     C_pad = ((C + CB - 1) // CB) * CB
     if C_pad != C:

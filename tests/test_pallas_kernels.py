@@ -158,11 +158,17 @@ def test_pick_zb_alignment_and_vmem():
     assert zb is not None and 128 % zb == 0 and (zb % 8 == 0 or zb == 128)
     # small z fits whole even if unaligned
     assert _pick_zb(12, B=128, dc=6) == 12
-    # budget respected: <= 12MB of 14 [1, dc, ZB, B] f32 temporaries
-    for z, B, dc in [(5400, 128, 6), (1024, 256, 7), (450, 128, 6)]:
+    # budget respected on PADDED tile dims (minor dim pads to 128 lanes,
+    # -2 dim to 8 sublanes): <= 12MB of 14 [1, dc, ZB, B] f32 temporaries.
+    # Regression for B=16 (small streaming batches): the raw-B model
+    # under-counted 8x and the kernel OOMed scoped vmem at compile time.
+    for z, B, dc in [(5400, 128, 6), (1024, 256, 7), (450, 128, 6),
+                     (1800, 16, 6), (1800, 64, 6)]:
         got = _pick_zb(z, B=B, dc=dc)
         if got is not None:
-            assert 14 * dc * got * B * 4 <= 12 * 2**20
+            b_pad = -(-B // 128) * 128
+            z_pad = -(-got // 8) * 8
+            assert 14 * dc * z_pad * b_pad * 4 <= 12 * 2**20
             assert z % got == 0
 
 
