@@ -61,6 +61,13 @@ class StreamReconciler:
         curves), "table" (precomputed (n, j)->LLR map), "interp"
         (per-sample grid inverse) or "search" (exact Newton inverse) — see
         NoiseMapper.demap_lappr_array.
+      defer: hold completed frames until a FULL batch accumulates instead
+        of padding every partial block — the throughput mode for streams
+        fed in chunks smaller than ``batch * N_symb`` symbols (a padded
+        partial block costs the whole batch's device work: measured 27x
+        waste at 2.3-frame chunks into a 64-frame batch).  Outputs are
+        delayed until batches fill; drain tails with ``bob_flush()`` /
+        ``alice_flush()``.  Default False (emit-immediately semantics).
     """
 
     def __init__(
@@ -71,6 +78,7 @@ class StreamReconciler:
         nm: NoiseMapper,
         batch: int = 32,
         llr_mode: str = "poly",
+        defer: bool = False,
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
             raise ValueError("code length not divisible by bits/symbol")
@@ -86,6 +94,21 @@ class StreamReconciler:
         self._carry_x = np.empty(0, np.int64)
         self._alice_jit = None
         self._bob_jit = None
+        # defer=True: hold completed frames until a FULL batch accumulates
+        # and only then dispatch, instead of padding every partial block.
+        # Without it, a stream fed in chunks much smaller than
+        # batch*N_symb symbols pays the full batch's device work per
+        # chunk (measured: 2.3-frame chunks into a 64-frame batch ran 27x
+        # the needed decode work).  Outputs are delayed until the batch
+        # fills; call bob_flush()/alice_flush() to drain the tails
+        # (padded, once) at end of stream.
+        self.defer = bool(defer)
+        self._bob_q = np.empty((0, self.N_symb), np.float64)
+        self._aq_x = np.empty((0, self.N_symb), np.int64)
+        self._aq_nhat = np.empty((0, self.N_symb), np.float64)
+        self._aq_synd = np.empty((0, mat.cnum), np.uint8)
+        self._aq_words = None  # lazily [Q, N] when bob_words accounting is on
+        self.decode_dispatches = 0  # device decode calls (waste accounting)
         if llr_mode == "table":
             # build before any jit flattens the mapper: the lazy LLR table
             # changes the pytree structure when materialized
@@ -110,14 +133,39 @@ class StreamReconciler:
         y = np.concatenate([self._carry_y, np.asarray(y_block, np.float64).ravel()])
         F = y.size // self.N_symb
         self._carry_y = y[F * self.N_symb:]
-        if F == 0:
+        yf = y[: F * self.N_symb].reshape(F, self.N_symb)
+        if self.defer:
+            if F:
+                self._bob_q = np.concatenate([self._bob_q, yf], axis=0)
+            P = (self._bob_q.shape[0] // self.batch) * self.batch
+            yf = self._bob_q[:P]
+            self._bob_q = self._bob_q[P:]
+        if yf.shape[0] == 0:
             return (
                 np.empty((0, self.N), np.uint8),
                 np.empty((0, self.mat.cnum), np.uint8),
                 np.empty((0, self.N_symb)),
             )
-        yf = y[: F * self.N_symb].reshape(F, self.N_symb)
+        return self._bob_run(yf)
 
+    def bob_flush(self):
+        """Drain Bob's deferred frame queue (padded tail batch, once).
+
+        Returns the same triple as :meth:`bob_process`.  No-op (empty
+        arrays) when nothing is queued or ``defer`` is off."""
+        yf = self._bob_q
+        self._bob_q = np.empty((0, self.N_symb), np.float64)
+        if yf.shape[0] == 0:
+            return (
+                np.empty((0, self.N), np.uint8),
+                np.empty((0, self.mat.cnum), np.uint8),
+                np.empty((0, self.N_symb)),
+            )
+        return self._bob_run(yf)
+
+    def _bob_run(self, yf):
+        """Batch-blocked device processing of complete frames [F, N_symb]."""
+        F = yf.shape[0]
         if self._bob_jit is None:
 
             def bob_round(nm, yf):
@@ -164,13 +212,82 @@ class StreamReconciler:
         x = np.concatenate([self._carry_x, np.asarray(x_block, np.int64).ravel()])
         F = x.size // self.N_symb
         self._carry_x = x[F * self.N_symb:]
-        res = StreamResult()
-        if F == 0:
-            return res
         xf = x[: F * self.N_symb].reshape(F, self.N_symb)
+        if self.defer:
+            # queue x-completed frames and Bob's (n_hat, synd[, words])
+            # rows independently (they may arrive at different rates) and
+            # decode only full batches from the aligned fronts
+            if F:
+                self._aq_x = np.concatenate([self._aq_x, xf], axis=0)
+            n_hat = np.asarray(n_hat)
+            if n_hat.shape[0]:
+                self._aq_nhat = np.concatenate(
+                    [self._aq_nhat, n_hat], axis=0
+                )
+                self._aq_synd = np.concatenate(
+                    [self._aq_synd, np.asarray(synd, np.uint8)], axis=0
+                )
+                if bob_words is not None:
+                    bw = np.asarray(bob_words, np.uint8)
+                    self._aq_words = (
+                        bw if self._aq_words is None
+                        else np.concatenate([self._aq_words, bw], axis=0)
+                    )
+                elif self._aq_words is not None:
+                    raise ValueError(
+                        "bob_words accounting must be passed on every "
+                        "deferred alice_process call or never"
+                    )
+            avail = min(self._aq_x.shape[0], self._aq_nhat.shape[0],
+                        self._aq_synd.shape[0])
+            P = (avail // self.batch) * self.batch
+            if P == 0:
+                return StreamResult()
+            xf = self._aq_x[:P]
+            n_hat = self._aq_nhat[:P]
+            synd = self._aq_synd[:P]
+            bob_words = (
+                self._aq_words[:P] if self._aq_words is not None else None
+            )
+            self._aq_x = self._aq_x[P:]
+            self._aq_nhat = self._aq_nhat[P:]
+            self._aq_synd = self._aq_synd[P:]
+            if self._aq_words is not None:
+                self._aq_words = self._aq_words[P:]
+            return self._alice_run(n_hat, xf, synd, max_iterations,
+                                   bob_words)
+        if F == 0:
+            return StreamResult()
         n_hat = np.asarray(n_hat)[:F]
         synd = np.asarray(synd)[:F]
+        return self._alice_run(n_hat, xf, synd, max_iterations, bob_words)
 
+    def alice_flush(self, max_iterations: int = 50):
+        """Drain Alice's deferred queues (padded tail batch, once).
+
+        Decodes whatever aligned frames remain queued; returns a
+        StreamResult.  No-op when nothing is queued or ``defer`` is off."""
+        avail = min(self._aq_x.shape[0], self._aq_nhat.shape[0],
+                    self._aq_synd.shape[0])
+        if avail == 0:
+            return StreamResult()
+        xf = self._aq_x[:avail]
+        n_hat = self._aq_nhat[:avail]
+        synd = self._aq_synd[:avail]
+        bob_words = (
+            self._aq_words[:avail] if self._aq_words is not None else None
+        )
+        self._aq_x = self._aq_x[avail:]
+        self._aq_nhat = self._aq_nhat[avail:]
+        self._aq_synd = self._aq_synd[avail:]
+        if self._aq_words is not None:
+            self._aq_words = self._aq_words[avail:]
+        return self._alice_run(n_hat, xf, synd, max_iterations, bob_words)
+
+    def _alice_run(self, n_hat, xf, synd, max_iterations, bob_words):
+        """Batch-blocked LLR+decode of aligned frames [F, ...]."""
+        F = xf.shape[0]
+        res = StreamResult()
         if self._alice_jit is None:
             llr_mode = self.llr_mode
             if llr_mode == "table":
@@ -197,10 +314,15 @@ class StreamReconciler:
                 nh = np.concatenate([nh, np.repeat(nh[-1:], pad, 0)])
                 xs = np.concatenate([xs, np.repeat(xs[-1:], pad, 0)])
                 sd = np.concatenate([sd, np.repeat(sd[-1:], pad, 0)])
+            self.decode_dispatches += 1
+            # the tunnel's host->device bandwidth binds this path: ship
+            # symbol indices at the smallest sufficient width (uint8 for
+            # any real alphabet) instead of int64 — 8x less upload
+            idx_dt = np.uint8 if self.pa.order <= 256 else np.int32
             success, iters, total = self._alice_jit(
                 self.nm,
                 jnp.asarray(nh, self.nm.dtype),
-                jnp.asarray(xs),
+                jnp.asarray(xs.astype(idx_dt)),
                 jnp.asarray(sd),
                 jnp.int32(max_iterations),
             )

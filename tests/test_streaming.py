@@ -121,6 +121,58 @@ def test_stream_single_compiled_program(chain):
     assert res_a.success == res_b.success
 
 
+def test_stream_defer_matches_immediate_with_fewer_dispatches(chain):
+    """defer=True: identical decoded output to emit-immediately mode on
+    the same stream (after flush), with ~chunks-fewer padded decode
+    dispatches — the throughput mode for chunk << batch*N_symb feeds."""
+    dec, mat, pa, nm, sigma = chain
+    rng = np.random.default_rng(11)
+    n_frames, batch = 7, 3
+    S = mat.vnum // pa.bit_per_symbol
+    x = rng.integers(0, pa.order, n_frames * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+    chunks = irregular_chunks(x.size)
+
+    def run(defer):
+        sr = StreamReconciler(dec, mat, pa, nm, batch=batch, defer=defer)
+        words, res = [], []
+        pos = 0
+        for sz in chunks:
+            w, s, nh = sr.bob_process(y[pos:pos + sz])
+            words.append(w)
+            res.append(sr.alice_process(nh, x[pos:pos + sz], s,
+                                        max_iterations=30))
+            pos += sz
+        if defer:
+            w, s, nh = sr.bob_flush()
+            words.append(w)
+            res.append(sr.alice_process(nh, np.empty(0, np.int64), s, 30))
+            res.append(sr.alice_flush(30))
+        all_words = np.concatenate([w for w in words if w.shape[0]])
+        out = StreamResult()
+        for r in res:
+            out.frames += r.frames
+            out.decoded_words.extend(r.decoded_words)
+            out.success.extend(r.success)
+            out.iterations.extend(r.iterations)
+        return sr, all_words, out
+
+    from qamreconciliation_tpu.sims.streaming import StreamResult
+
+    sr_i, words_i, out_i = run(False)
+    sr_d, words_d, out_d = run(True)
+    assert out_i.frames == out_d.frames == n_frames
+    np.testing.assert_array_equal(words_i, words_d)
+    assert out_i.success == out_d.success
+    assert out_i.iterations == out_d.iterations
+    for a, b in zip(out_i.decoded_words, out_d.decoded_words):
+        np.testing.assert_array_equal(a, b)
+    # immediate mode dispatches a padded batch per frame-completing chunk;
+    # deferred mode only ceil(n_frames / batch) times
+    assert sr_d.decode_dispatches == -(-n_frames // batch)
+    assert sr_d.decode_dispatches < sr_i.decode_dispatches
+
+
 def test_stream_with_qc_decoder():
     """StreamReconciler works with the circulant-roll QCDecoder (duck-typed
     via _build_decode, like the sweep engines)."""
