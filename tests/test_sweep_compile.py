@@ -192,3 +192,25 @@ def test_point_batched_sweep_with_qc_decoder():
     for r in res:
         assert r.frames == 16 and 0.0 <= r.ber <= 1.0
         assert r.fer >= r.ber  # a frame error needs >= 1 bit error
+
+
+def test_point_batched_sweep_with_layered_schedule():
+    """--point-batch also composes with the layered (serial-C) schedule:
+    the chunked while_loop + per-sweep DUS updates vmap cleanly over the
+    stacked SNR-point axis."""
+    from qamreconciliation_tpu.models.qc_decoder import QCDecoder, make_qc_ldpc
+
+    base, vid, cid = make_qc_ldpc(12, 16, dv=3, dc=6, seed=4)
+    dec = QCDecoder(base, 16, schedule="layered", check_rule="minsum")
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    eng = ReconciliationEngine(dec, mat, pa, batch=8)
+    snrs = [4.0, 5.5]
+    res = eng.run_sweep_batched(
+        "softening", snrs, 15, 16, 10**9,
+        nmconfig=np.zeros(4, np.uint8), seed=3,
+    )
+    assert [r.snr_dB for r in res] == snrs
+    for r in res:
+        assert r.frames == 16 and 0.0 <= r.ber <= 1.0
+    assert res[1].ber <= res[0].ber  # higher SNR decodes no worse
