@@ -155,11 +155,21 @@ def mutual_information_X_Y(nm: NoiseMapper) -> float:
 
 # --------------------------------------------------------------------- #
 
-def _mc_info_impl(key, pa, nm, p_Xhat_dev, N, which):
+def _mc_info_impl(key, pa, nm, p_Xhat_dev, N, which, ginv_mode="interp"):
     """MC estimator core (unjitted; see ``_mc_info`` and
     ``_mc_info_batched``); nm rides in as a pytree argument, so one compile
     serves every SNR point of a sweep (the alphabet is static via its hash —
-    identity-based, alphabets are built once per sweep)."""
+    identity-based, alphabets are built once per sweep).
+
+    ginv_mode selects how the I(X,N;Xhat) estimator reconstructs the
+    candidate inverses y_hat[s, k != xhat]: "interp" (the reference's
+    g_inv grid interpolation, mirrored exactly) or "poly" (gather-free
+    probit-warped Chebyshev fit of the SAME inverse table — measured 6x
+    faster on the axon TPU backend, where the per-(sample, candidate)
+    gathers were 83% of the estimator's cost; fit residual ~1e-5 of the
+    constellation scale, far below MC noise).  The k == xhat slot always
+    uses the exact Newton ``g_inv_search`` (the reference's contract).
+    """
     dtype = nm.dtype
     kx, kn = jax.random.split(jnp.asarray(key))
     x_ind = pa.random_symbols(kx, N)
@@ -193,7 +203,7 @@ def _mc_info_impl(key, pa, nm, p_Xhat_dev, N, which):
         # y_hat for every candidate decision k: grid interp for k != xhat
         # (reference uses g_inv there) and exact bisection at k == xhat
         # (reference uses g_inv_search), mirrored exactly.
-        y_hat_all = nm._y_hat_all_candidates(n, "interp")          # [N, M]
+        y_hat_all = nm._y_hat_all_candidates(n, ginv_mode)         # [N, M]
         y_hat_hat = nm.g_inv_search(n, xhat_ind)                   # [N]
         karange = jnp.arange(nm.order)
         is_hat = karange[None, :] == xhat_ind[:, None]
@@ -215,9 +225,9 @@ def _mc_info_impl(key, pa, nm, p_Xhat_dev, N, which):
     return I_X_Xhat, I_X_Y, I_XN_Xhat
 
 
-_mc_info = functools.partial(jax.jit, static_argnames=("pa", "N", "which"))(
-    _mc_info_impl
-)
+_mc_info = functools.partial(
+    jax.jit, static_argnames=("pa", "N", "which", "ginv_mode")
+)(_mc_info_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("pa", "N", "which"))
@@ -236,7 +246,8 @@ def _mc_info_batched(keys, pa, nm_stack, p_Xhat_stack, N, which):
 _MC_BATCH_CACHE: dict = {}
 
 
-def montecarlo_information_batched(keys, pa, nms, p_Xhats, N, which):
+def montecarlo_information_batched(keys, pa, nms, p_Xhats, N, which,
+                                   ginv_mode="interp"):
     """Batched MC estimators over a list of NoiseMappers (e.g. one per sign
     configuration) sharing one alphabet and one noise variance.
 
@@ -272,7 +283,7 @@ def montecarlo_information_batched(keys, pa, nms, p_Xhats, N, which):
         jnp.asarray(leaves0[i]) for i in range(nleaf) if shared_mask[i]
     )
     p_stack = jnp.asarray(np.asarray(p_Xhats), nms[0].dtype)
-    cache_key = (treedef, shared_mask, pa, int(N), tuple(which))
+    cache_key = (treedef, shared_mask, pa, int(N), tuple(which), ginv_mode)
     fn = _MC_BATCH_CACHE.get(cache_key)
     if fn is None:
         def one(k, st, sh, p):
@@ -281,7 +292,7 @@ def montecarlo_information_batched(keys, pa, nms, p_Xhats, N, which):
                 next(it_h) if m else next(it_s) for m in shared_mask
             ]
             nm = jax.tree_util.tree_unflatten(treedef, leaves)
-            return _mc_info_impl(k, pa, nm, p, N, tuple(which))
+            return _mc_info_impl(k, pa, nm, p, N, tuple(which), ginv_mode)
         fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None, 0)))
         _MC_BATCH_CACHE[cache_key] = fn
     out = fn(keys, stacked, shared_vals, p_stack)
@@ -295,6 +306,7 @@ def montecarlo_information(
     p_Xhat,
     N: int,
     which=(True, True, True),
+    ginv_mode: str = "interp",
 ):
     """Monte-Carlo estimators of (I_X_Xhat, I_X_Y, I_XN_Xhat), batched.
 
@@ -310,5 +322,6 @@ def montecarlo_information(
     single compilation.
     """
     p_Xhat_dev = jnp.asarray(np.asarray(p_Xhat), nm.dtype)
-    a, b, c = _mc_info(key, pa, nm, p_Xhat_dev, int(N), tuple(which))
+    a, b, c = _mc_info(key, pa, nm, p_Xhat_dev, int(N), tuple(which),
+                       ginv_mode)
     return float(a), float(b), float(c)

@@ -70,6 +70,11 @@ def _np_F_Z(z, mu, sigma):
 _POLY_NSEG = 8
 _POLY_DEG = 10
 _POLY_D = 1e-4
+# gather-free g^-1: piecewise-Chebyshev fit of the inverse marginal CDF
+# y(u) in the probit coordinate t = ndtri(u) (exactly linear for a single
+# Gaussian; smooth for the overlapping mixtures of realistic SNRs)
+_GINV_NSEG = 16
+_GINV_DEG = 10
 
 
 class NoiseMapper:
@@ -247,6 +252,9 @@ class NoiseMapper:
         # gather-free piecewise-Chebyshev LLR coefficients (lazy, see
         # _ensure_llr_poly)
         self._llr_poly = None
+        # gather-free inverse-CDF coefficients (lazy, sign-INDEPENDENT —
+        # with_sign_config clones share them; see _ensure_ginv_poly)
+        self._ginv_poly = None
 
     def with_sign_config(self, sign_config) -> "NoiseMapper":
         """Cheap variant of this mapper with a different sign configuration.
@@ -260,7 +268,10 @@ class NoiseMapper:
         build ONE mapper per SNR point and clone per configuration: every
         table leaf is shared by reference, only ``sign_config``/``_sign_cfg``
         is replaced.  The lazy LLR caches (``_llr_tab``/``_llr_poly``) DO
-        bake in the sign directions, so they reset to unbuilt in the clone.
+        bake in the sign directions, so they reset to unbuilt in the clone;
+        the gather-free inverse-CDF coefficients (``_ginv_poly``) do NOT
+        (signs transform the CDF target, not the inverse curve) and stay
+        shared by reference.
 
         Host-leaf mappers (``device=False``) produce host-leaf clones.
         """
@@ -614,6 +625,102 @@ class NoiseMapper:
         y1 = self._y_of_u[i0 + 1]
         return y0 + (y1 - y0) * frac
 
+    def _ensure_ginv_poly(self):
+        """Host build of the gather-free inverse-CDF coefficients.
+
+        Fits degree-``_GINV_DEG`` Chebyshev series per segment to the SAME
+        uniform-in-CDF inverse table ``g_inv`` interpolates (so "poly" is a
+        drop-in for "interp" up to the fit residual), in the probit
+        coordinate ``t = ndtri(u)`` over ``u in [0.5/K, 1 - 0.5/K]`` —
+        y(t) is exactly linear for a single Gaussian and stays smooth for
+        the overlapping mixture components of realistic SNRs (at very high
+        SNR the plateaus between components steepen the curve; the max fit
+        residual is kept in ``_ginv_poly_fit_err`` and a warning points
+        back to "interp" when it exceeds 1e-2 of the constellation step).
+
+        The coefficients depend only on the (alphabet, N0) tables — NOT on
+        the sign configuration (signs transform the CDF target, not the
+        inverse curve) — so ``with_sign_config`` clones share them by
+        reference and mass enumerations fit once.
+        """
+        if self._ginv_poly is not None and self._ginv_poly.size:
+            return
+        if not hasattr(self, "np_tables"):
+            raise RuntimeError(
+                "gather-free g_inv reached a traced NoiseMapper whose "
+                "coefficients were never built — call "
+                "nm._ensure_ginv_poly() on the original object before "
+                "passing it through jit"
+            )
+        from scipy.special import ndtr, ndtri
+
+        nseg, deg = _GINV_NSEG, _GINV_DEG
+        K = self._inv_K
+        u_eps = 0.5 / K
+        t_lo, t_hi = float(ndtri(u_eps)), float(ndtri(1.0 - u_eps))
+        F_grid = self.np_tables["F_Y"]
+        y_grid = self.np_tables["y_range"]
+        nn = 4 * (deg + 1)
+        xs = np.cos(np.pi * np.arange(nn) / (nn - 1))[::-1]     # [-1, 1]
+        C = np.empty((nseg, deg + 1))
+        fit_err = 0.0
+        for s in range(nseg):
+            tn = t_lo + (s + (xs + 1.0) / 2.0) / nseg * (t_hi - t_lo)
+            un = ndtr(tn)
+            yn = np.interp(un, F_grid, y_grid)
+            c = np.polynomial.chebyshev.chebfit(xs, yn, deg)
+            fit = np.polynomial.chebyshev.chebval(xs, c)
+            fit_err = max(fit_err, np.abs(fit - yn).max())
+            C[s] = c
+        self._ginv_poly_fit_err = fit_err
+        if fit_err > 1e-2 * float(self.alphabet.step):
+            import warnings
+
+            warnings.warn(
+                f"gather-free g_inv fit residual {fit_err:.3g} is large "
+                "for this (alphabet, N0) — well-separated mixture "
+                "components at high SNR; prefer ginv mode 'interp'",
+                stacklevel=2,
+            )
+        pdt = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
+        self._ginv_poly = jnp.asarray(C, pdt)
+
+    def g_inv_poly(self, n_hat, i):
+        """Gather-free inverse softening (batched): same contract as
+        :meth:`g_inv` but ZERO random table gathers — the segment select
+        is a one-hot [.., nseg] MXU contraction and the series sums by
+        Clenshaw recurrence on the VPU.  Measured: the per-(sample,
+        candidate) ``g_inv`` gathers were 83% of the config-batched MC-MI
+        estimator's cost on the axon TPU backend (scripts/
+        probe_mcmi_parts.py)."""
+        if self._ginv_poly is None or not self._ginv_poly.size:
+            self._ensure_ginv_poly()
+        nseg, deg = _GINV_NSEG, _GINV_DEG
+        compute = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
+        K = self._inv_K
+        u_eps = 0.5 / K
+        from scipy.special import ndtri as _h_ndtri
+
+        t_lo = float(_h_ndtri(u_eps))
+        t_hi = float(_h_ndtri(1.0 - u_eps))
+        target = self._g_target(n_hat, jnp.asarray(i), self._g_signs())
+        u = jnp.clip(target.astype(compute), u_eps, 1.0 - u_eps)
+        t = jax.scipy.special.ndtri(u)
+        s = jnp.clip((t - t_lo) / (t_hi - t_lo) * nseg, 0.0,
+                     nseg * (1.0 - 1e-7))
+        sidx = jnp.floor(s)
+        x = 2.0 * (s - sidx) - 1.0
+        oh = (sidx.astype(INDEX_DTYPE)[..., None]
+              == jnp.arange(nseg, dtype=INDEX_DTYPE)).astype(compute)
+        Cd = self._ginv_poly.astype(compute)                # [nseg, deg+1]
+        cf = jnp.einsum("...q,qd->...d", oh, Cd,
+                        preferred_element_type=compute)
+        b1 = jnp.zeros_like(x)
+        b2 = b1
+        for k in range(deg, 0, -1):
+            b1, b2 = 2.0 * x * b1 - b2 + cf[..., k], b1
+        return (x * b1 - b2 + cf[..., 0]).astype(self.dtype)
+
     def _f_Y_pdf(self, y):
         """Mixture pdf of Y (batched), for the Newton inverse."""
         y = jnp.asarray(y, self.dtype)
@@ -710,6 +817,8 @@ class NoiseMapper:
         nn = n[..., None]
         if mode == "search":
             return self.g_inv_search(jnp.broadcast_to(nn, ii.shape), ii)
+        if mode == "poly":
+            return self.g_inv_poly(jnp.broadcast_to(nn, ii.shape), ii)
         return self.g_inv(jnp.broadcast_to(nn, ii.shape), ii)
 
     def _gray_group_llr(self, log_w):
@@ -902,6 +1011,7 @@ _NM_LEAVES = (
     "_F_thr", "_delta_F_Y", "_fwd", "_back", "_bare_llr", "_inf_erf",
     "_c", "_thr_interior", "_p", "_log_p", "_sign_cfg", "_bits_mask",
     "_y_of_u", "_sigma_dev", "_noise_var_dev", "_llr_tab", "_llr_poly",
+    "_ginv_poly",
 )
 _NM_AUX = (
     "order", "half_order", "bit_per_symbol", "_inv_K", "_llr_K",
@@ -918,7 +1028,7 @@ def _nm_flatten(nm):
     leaves = []
     for k in _NM_LEAVES:
         v = getattr(nm, k)
-        if k in ("_llr_tab", "_llr_poly") and v is None:
+        if k in ("_llr_tab", "_llr_poly", "_ginv_poly") and v is None:
             v = jnp.zeros((0,), nm.dtype)
         leaves.append(v)
     return tuple(leaves), tuple(getattr(nm, k) for k in _NM_AUX)

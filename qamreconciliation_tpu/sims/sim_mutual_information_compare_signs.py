@@ -68,6 +68,14 @@ def build_parser():
     parser.add_argument("--nmontecarlo", type=int, default=1 << 12)
     parser.add_argument("--nloops", type=int, default=1 << 6)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--mc-ginv", choices=["poly", "interp"], default="poly",
+        help="Candidate-inverse reconstruction inside the MC estimator: "
+        "'poly' (gather-free probit-warped Chebyshev fit of the same "
+        "inverse table, ~6x faster on TPU, fit error ~1e-5 of the "
+        "constellation scale — far below MC noise) or 'interp' (the "
+        "reference's grid interpolation, mirrored exactly)",
+    )
     parser.add_argument("--config-chunk", type=int, default=4096,
                         help="Configurations per vmapped estimator call "
                         "(bounds device memory at bps=4's 32,896 configs; "
@@ -114,6 +122,11 @@ def main(argv=None):
         # pytree pays one transfer per leaf when it enters the jitted
         # estimator.
         base_nm = NoiseMapper(pa, N0, dtype=np.float64, device=False)
+        if args.montecarlo and args.mc_ginv == "poly":
+            # fit ONCE per SNR point; every clone shares the coefficients
+            # by reference (sign-independent), so the whole enumeration
+            # rides one [nseg, deg+1] leaf via the shared-leaf batching
+            base_nm._ensure_ginv_poly()
         nms = [base_nm.with_sign_config(config_array[k])
                for k in range(config_count)]
         if args.montecarlo:
@@ -140,6 +153,7 @@ def main(argv=None):
                     out = montecarlo_information_batched(
                         keys, pa, chunk_nms, chunk_p, args.nmontecarlo,
                         which=(False, False, True),
+                        ginv_mode=args.mc_ginv,
                     )
                     acc_c += out[:, 2]
                 acc[lo:hi] = acc_c[:take] / args.nloops

@@ -21,7 +21,8 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="full",
-                    choices=["full", "nogather", "nonewton", "noexp"])
+                    choices=["full", "poly", "nogather", "nonewton",
+                             "noexp"])
     ap.add_argument("--p", type=int, default=1024)
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--bps", type=int, default=4)
@@ -42,6 +43,8 @@ def main():
     M = pa.order
     nm = NoiseMapper(pa, pa.variance * 10 ** (-1.0), dtype=np.float64,
                      device=False)
+    if args.variant == "poly":
+        nm._ensure_ginv_poly()
     p_X = np.asarray(P_xhat(nm))
 
     def estimator(key, nm, variant):
@@ -57,6 +60,8 @@ def main():
         two_var = 2.0 * nm._noise_var_dev
         if variant == "nogather":
             y_hat_all = jnp.broadcast_to(y[:, None], (args.n, M))
+        elif variant == "poly":
+            y_hat_all = nm._y_hat_all_candidates(n, "poly")
         else:
             y_hat_all = nm._y_hat_all_candidates(n, "interp")
         if variant == "nonewton":

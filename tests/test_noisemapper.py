@@ -483,6 +483,66 @@ def test_with_sign_config_clone_matches_fresh_ctor():
     assert not isinstance(dclone._sign_cfg, np.ndarray)
 
 
+@pytest.mark.parametrize("bps", [2, 4])
+def test_ginv_poly_matches_interp(bps):
+    """The gather-free probit-warped Chebyshev inverse tracks the grid-
+    interpolated g_inv it replaces to well below MC-estimator noise,
+    across sign configurations (which only transform the CDF target)."""
+    import numpy as np
+
+    from qamreconciliation_tpu.models.alphabet import PAMAlphabet
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+
+    pa = PAMAlphabet(bps, 2.0)
+    M = pa.order
+    rng = np.random.default_rng(0)
+    cfgs = [np.zeros(M, np.uint8), (np.arange(M) % 2).astype(np.uint8)]
+    nm0 = NoiseMapper(pa, pa.variance * 10 ** (-0.8), dtype=np.float64,
+                      device=False)
+    nm0._ensure_ginv_poly()
+    assert nm0._ginv_poly_fit_err < 1e-4 * pa.step
+    n = np.linspace(0.0, 1.0, 4001)
+    for cfg in cfgs:
+        nm = nm0.with_sign_config(cfg)
+        assert nm._ginv_poly is nm0._ginv_poly  # shared by reference
+        for i in range(M):
+            ii = np.full(n.shape, i)
+            y_interp = np.asarray(nm.g_inv(n, ii))
+            y_poly = np.asarray(nm.g_inv_poly(n, ii))
+            # interior: fit-level agreement; the clamped extreme tails
+            # (u within half a table cell of 0/1) may differ by the
+            # table's own end-cell lerp
+            err = np.abs(y_poly - y_interp)
+            assert np.median(err) < 1e-5 * pa.step
+            assert np.percentile(err, 99.5) < 1e-3 * pa.step
+
+
+def test_mc_estimator_poly_ginv_statistically_equivalent():
+    """I(X,N;Xhat) MC estimates with ginv_mode='poly' match 'interp' far
+    inside MC noise (same key: only the k != xhat candidate inverses
+    differ, by the fit residual)."""
+    import jax
+    import numpy as np
+
+    from qamreconciliation_tpu.models.alphabet import PAMAlphabet
+    from qamreconciliation_tpu.models.mutual_information import (
+        P_xhat, montecarlo_information,
+    )
+    from qamreconciliation_tpu.models.noisemapper import NoiseMapper
+
+    pa = PAMAlphabet(2, 2.0)
+    nm = NoiseMapper(pa, 0.35, dtype=np.float64)
+    nm._ensure_ginv_poly()
+    p = P_xhat(nm)
+    key = jax.random.key(3)
+    _, _, a = montecarlo_information(key, pa, nm, p, 8192,
+                                     which=(False, False, True))
+    _, _, b = montecarlo_information(key, pa, nm, p, 8192,
+                                     which=(False, False, True),
+                                     ginv_mode="poly")
+    assert abs(a - b) < 1e-4 * max(1.0, abs(a))
+
+
 def test_sign_config_owns_its_array():
     """Mappers must not alias caller memory through sign_config: mutating
     the caller's config array (e.g. a row of an enumeration buffer) after
