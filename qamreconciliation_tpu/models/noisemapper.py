@@ -70,11 +70,14 @@ def _np_F_Z(z, mu, sigma):
 _POLY_NSEG = 8
 _POLY_DEG = 10
 _POLY_D = 1e-4
-# gather-free g^-1: piecewise-Chebyshev fit of the inverse marginal CDF
+# gather-free g^-1: ONE global Chebyshev fit of the inverse marginal CDF
 # y(u) in the probit coordinate t = ndtri(u) (exactly linear for a single
-# Gaussian; smooth for the overlapping mixtures of realistic SNRs)
-_GINV_NSEG = 16
-_GINV_DEG = 10
+# Gaussian; smooth for realistic mixture overlap).  Global (segment-free)
+# on purpose: a per-element segment one-hot materializes a [.., nseg]
+# tensor that explodes under config-vmapped estimators (a 17 GB
+# intermediate hung the remote compiler), while Clenshaw over a [deg+1]
+# coefficient leaf via lax.scan is pure elementwise FMA flow.
+_GINV_DEG = 96
 
 
 class NoiseMapper:
@@ -628,15 +631,17 @@ class NoiseMapper:
     def _ensure_ginv_poly(self):
         """Host build of the gather-free inverse-CDF coefficients.
 
-        Fits degree-``_GINV_DEG`` Chebyshev series per segment to the SAME
+        Fits ONE global degree-``_GINV_DEG`` Chebyshev series to the SAME
         uniform-in-CDF inverse table ``g_inv`` interpolates (so "poly" is a
         drop-in for "interp" up to the fit residual), in the probit
         coordinate ``t = ndtri(u)`` over ``u in [0.5/K, 1 - 0.5/K]`` —
         y(t) is exactly linear for a single Gaussian and stays smooth for
-        the overlapping mixture components of realistic SNRs (at very high
-        SNR the plateaus between components steepen the curve; the max fit
-        residual is kept in ``_ginv_poly_fit_err`` and a warning points
-        back to "interp" when it exceeds 1e-2 of the constellation step).
+        the overlapping mixture components of realistic SNRs (measured
+        residuals <= 2e-5 of the constellation step for bps=2/4 across
+        3.5-14 dB; at very high SNR the plateaus between components
+        steepen the curve — the max residual is kept in
+        ``_ginv_poly_fit_err`` and a warning points back to "interp" when
+        it exceeds 1e-2 of the step).
 
         The coefficients depend only on the (alphabet, N0) tables — NOT on
         the sign configuration (signs transform the CDF target, not the
@@ -654,7 +659,7 @@ class NoiseMapper:
             )
         from scipy.special import ndtr, ndtri
 
-        nseg, deg = _GINV_NSEG, _GINV_DEG
+        deg = _GINV_DEG
         K = self._inv_K
         u_eps = 0.5 / K
         t_lo, t_hi = float(ndtri(u_eps)), float(ndtri(1.0 - u_eps))
@@ -662,16 +667,11 @@ class NoiseMapper:
         y_grid = self.np_tables["y_range"]
         nn = 4 * (deg + 1)
         xs = np.cos(np.pi * np.arange(nn) / (nn - 1))[::-1]     # [-1, 1]
-        C = np.empty((nseg, deg + 1))
-        fit_err = 0.0
-        for s in range(nseg):
-            tn = t_lo + (s + (xs + 1.0) / 2.0) / nseg * (t_hi - t_lo)
-            un = ndtr(tn)
-            yn = np.interp(un, F_grid, y_grid)
-            c = np.polynomial.chebyshev.chebfit(xs, yn, deg)
-            fit = np.polynomial.chebyshev.chebval(xs, c)
-            fit_err = max(fit_err, np.abs(fit - yn).max())
-            C[s] = c
+        tn = t_lo + (xs + 1.0) / 2.0 * (t_hi - t_lo)
+        yn = np.interp(ndtr(tn), F_grid, y_grid)
+        C = np.polynomial.chebyshev.chebfit(xs, yn, deg)
+        fit = np.polynomial.chebyshev.chebval(xs, C)
+        fit_err = float(np.abs(fit - yn).max())
         self._ginv_poly_fit_err = fit_err
         if fit_err > 1e-2 * float(self.alphabet.step):
             import warnings
@@ -687,15 +687,15 @@ class NoiseMapper:
 
     def g_inv_poly(self, n_hat, i):
         """Gather-free inverse softening (batched): same contract as
-        :meth:`g_inv` but ZERO random table gathers — the segment select
-        is a one-hot [.., nseg] MXU contraction and the series sums by
-        Clenshaw recurrence on the VPU.  Measured: the per-(sample,
-        candidate) ``g_inv`` gathers were 83% of the config-batched MC-MI
-        estimator's cost on the axon TPU backend (scripts/
-        probe_mcmi_parts.py)."""
+        :meth:`g_inv` but ZERO random table gathers — Clenshaw recurrence
+        over the global coefficient leaf via ``lax.scan`` (coefficients
+        enter as scan slices: no one-hot tensors, no per-component leaf
+        reads).  Measured: the per-(sample, candidate) ``g_inv`` gathers
+        were 83% of the config-batched MC-MI estimator's cost on the axon
+        TPU backend (scripts/probe_mcmi_parts.py)."""
         if self._ginv_poly is None or not self._ginv_poly.size:
             self._ensure_ginv_poly()
-        nseg, deg = _GINV_NSEG, _GINV_DEG
+        deg = _GINV_DEG
         compute = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
         K = self._inv_K
         u_eps = 0.5 / K
@@ -706,20 +706,18 @@ class NoiseMapper:
         target = self._g_target(n_hat, jnp.asarray(i), self._g_signs())
         u = jnp.clip(target.astype(compute), u_eps, 1.0 - u_eps)
         t = jax.scipy.special.ndtri(u)
-        s = jnp.clip((t - t_lo) / (t_hi - t_lo) * nseg, 0.0,
-                     nseg * (1.0 - 1e-7))
-        sidx = jnp.floor(s)
-        x = 2.0 * (s - sidx) - 1.0
-        oh = (sidx.astype(INDEX_DTYPE)[..., None]
-              == jnp.arange(nseg, dtype=INDEX_DTYPE)).astype(compute)
-        Cd = self._ginv_poly.astype(compute)                # [nseg, deg+1]
-        cf = jnp.einsum("...q,qd->...d", oh, Cd,
-                        preferred_element_type=compute)
-        b1 = jnp.zeros_like(x)
-        b2 = b1
-        for k in range(deg, 0, -1):
-            b1, b2 = 2.0 * x * b1 - b2 + cf[..., k], b1
-        return (x * b1 - b2 + cf[..., 0]).astype(self.dtype)
+        x = jnp.clip(2.0 * (t - t_lo) / (t_hi - t_lo) - 1.0, -1.0, 1.0)
+        Cd = self._ginv_poly.astype(compute)                   # [deg+1]
+        # Clenshaw: k = deg..1 as scan slices c_deg..c_1, then c_0
+        c_rev = jnp.flip(Cd)
+
+        def step(carry, ck):
+            b1, b2 = carry
+            return (2.0 * x * b1 - b2 + ck, b1), None
+
+        zero = jnp.zeros_like(x)
+        (b1, b2), _ = jax.lax.scan(step, (zero, zero), c_rev[:deg])
+        return (x * b1 - b2 + c_rev[deg]).astype(self.dtype)
 
     def _f_Y_pdf(self, y):
         """Mixture pdf of Y (batched), for the Newton inverse."""

@@ -31,6 +31,14 @@ def build_parser():
     parser.add_argument("--display", action="store_true")
     parser.add_argument("--gnuplot", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--mc-ginv", choices=["poly", "interp"], default="poly",
+        help="Candidate-inverse reconstruction inside the I(X,N;Xhat) "
+        "estimator: 'poly' (gather-free Chebyshev inverse CDF, ~3x "
+        "faster on TPU, deviation ~3e-4 — far below MC noise) or "
+        "'interp' (the reference's g_inv grid interpolation, mirrored "
+        "exactly)",
+    )
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "float64"])
     parser.add_argument("--resume", action="store_true")
@@ -58,6 +66,8 @@ def main(argv=None):
             continue
         N0 = Es * (10 ** (-esn0db / 10)) / 2
         nm = NoiseMapper(pa, N0, dtype=np.dtype(args.dtype))
+        if args.mc_ginv == "poly":
+            nm._ensure_ginv_poly()   # before the pytree enters jit
         p_Xhat = P_xhat(nm)
 
         key = jax.random.key(args.seed + 7919 * i)
@@ -76,6 +86,7 @@ def main(argv=None):
                 montecarlo_information(
                     jax.random.fold_in(key, it), pa, nm, p_Xhat,
                     args.samples_per_iter * take,
+                    ginv_mode=args.mc_ginv,
                 )
             )
             done_iters += take
