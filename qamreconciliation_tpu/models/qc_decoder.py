@@ -87,7 +87,9 @@ class QCDecoder:
                  check_rule: str = "sumproduct",
                  compressed: bool | None = None,
                  schedule: str = "flooding",
-                 layered_chunk: int = 4):
+                 layered_chunk: int = 4,
+                 resident: bool | None = None,
+                 resident_chunk: int = 8):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
@@ -124,6 +126,24 @@ class QCDecoder:
         if int(layered_chunk) < 1:
             raise ValueError("layered_chunk must be >= 1")
         self.layered_chunk = int(layered_chunk)
+        # VMEM-RESIDENT flooding loop (ops/pallas_kernels.py:
+        # bp_decode_rounds_qc): the whole decode state (totals, messages,
+        # priors, syndrome) lives in the v5e's 128 MiB VMEM and the kernel
+        # advances ``resident_chunk`` BP iterations per call — HBM is
+        # touched once per chunk instead of ~6x per iteration.  Opt-in;
+        # flooding only.  Bit-identical to the dense min-sum path
+        # (tests/test_qc_resident.py); sum-product agrees to f32 summation
+        # order.
+        if resident and schedule != "flooding":
+            raise ValueError("resident=True supports only the flooding "
+                             "schedule")
+        if resident and compressed:
+            raise ValueError("resident=True is incompatible with "
+                             "compressed=True")
+        self.resident = bool(resident)
+        if int(resident_chunk) < 1:
+            raise ValueError("resident_chunk must be >= 1")
+        self.resident_chunk = int(resident_chunk)
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -193,7 +213,97 @@ class QCDecoder:
             return self._build_compressed()
         if self.schedule == "layered":
             return self._build_layered()
+        if self.resident:
+            return self._build_resident()
         return self._build_dense()
+
+    def _build_resident(self):
+        """VMEM-resident flooding loop: K iterations per kernel dispatch.
+
+        The outer ``while_loop`` carries (totals, c2v, final, done, iters)
+        through ``bp_decode_rounds_qc`` chunk steps; per-iteration
+        convergence testing, iters recording, and capture-at-convergence
+        all happen INSIDE the kernel, so semantics match
+        :meth:`_build_dense` exactly (reference:
+        qamreconciliation/decoder.pyx:391-436).  Early exit coarsens to
+        ``resident_chunk`` granularity (a converged batch runs up to K-1
+        extra lockstep iterations; detection/iters/final stay per-
+        iteration exact, and iterations past ``max_iterations`` are
+        in-kernel no-ops so chunk overrun never perturbs failed frames'
+        final totals).
+        """
+        from ..ops.pallas_kernels import bp_decode_rounds_qc
+
+        z = self.z
+        nb_c, nb_v = self.nb_c, self.nb_v
+        rows = self._rows
+        dtype = self.dtype
+        K = self.resident_chunk
+        interpret = jax.default_backend() != "tpu"
+        step = bp_decode_rounds_qc(
+            rows, z, rule=self.check_rule, k_rounds=K, interpret=interpret
+        )
+
+        def consistent(total, synd):
+            bits = (total.astype(jnp.float32) < 0).astype(jnp.int32)
+            ok = None
+            for cb, row in enumerate(rows):
+                par = None
+                for (v, s) in row:
+                    slab = jnp.roll(bits[v], s, axis=0)
+                    par = slab if par is None else par ^ slab
+                bad = jnp.sum((par != synd[cb]).astype(jnp.int32), axis=0)
+                ok = bad if ok is None else ok + bad
+            return ok == 0
+
+        def decode_batched(prior_vb, synd_cb, max_iterations):
+            """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
+            B = prior_vb.shape[1]
+            prior = prior_vb.astype(dtype).reshape(nb_v, z, B)
+            synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
+            synd8 = synd.astype(jnp.int8)
+            maxi = jnp.full((1, 1), max_iterations, jnp.int32)
+
+            def cond(state):
+                it, _, _, _, done8, _ = state
+                return jnp.logical_and(
+                    it < max_iterations, ~jnp.all(done8[0] > 0)
+                )
+
+            def body(state):
+                it, total, c2v, final, done8, iters8 = state
+                it0 = jnp.full((1, 1), it, jnp.int32)
+                total, c2v, final, done8, iters8 = step(
+                    it0, maxi, total, c2v, prior, synd8, final, done8,
+                    iters8,
+                )
+                return (it + K, total, c2v, final, done8, iters8)
+
+            init = (
+                jnp.int32(0),
+                prior,
+                jnp.zeros((nb_c, self.dc, z, B), dtype),
+                prior,
+                jnp.zeros((8, B), jnp.int32),
+                jnp.zeros((8, B), jnp.int32),
+            )
+            it, total, _, final, done8, iters8 = jax.lax.while_loop(
+                cond, body, init
+            )
+            done = done8[0] > 0
+            iters = iters8[0]
+            # post-loop consistency check: frames converging at the very
+            # last variable update (same tail as _build_dense)
+            conv = consistent(total, synd)
+            newly = jnp.logical_and(conv, ~done)
+            iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
+            final = jnp.where(newly[None, None, :], total, final)
+            done = jnp.logical_or(done, conv)
+            iters = jnp.where(done, iters, max_iterations)
+            final = jnp.where(done[None, None, :], final, total)
+            return done, iters, final.reshape(nb_v * z, B)
+
+        return jax.jit(decode_batched)
 
     def _build_compressed(self):
         """Compressed-state normalized min-sum flooding loop.

@@ -35,6 +35,8 @@ __all__ = [
     "check_node_update_pallas",
     "bp_check_phase_qc",
     "bp_check_phase_generic",
+    "bp_decode_rounds_qc",
+    "resident_vmem_bytes",
 ]
 
 
@@ -346,3 +348,257 @@ def check_node_update_pallas(
         interpret=interpret,
     )(v2c_c, synd, c_mask)
     return out[:C]
+
+
+# --------------------------------------------------------------------- #
+# VMEM-RESIDENT multi-iteration QC decode (round 3).
+#
+# Round 2 established (BASELINE.md, DESIGN.md) that the QC flooding loop is
+# bound by a ~0.42 ms/iter "copy floor": every iteration materializes the
+# rolled totals [nb_c, dc, z, B] in HBM, re-reads them in the check kernel,
+# writes c2v, re-reads c2v for the variable scatter, and rewrites totals —
+# ~300 MB of HBM round-trips per iteration at DVB-S2 scale.  The round-2
+# kernels assumed a ~16 MB VMEM budget, which is only Mosaic's DEFAULT
+# scoped-vmem limit: the v5e TensorCore has 128 MiB of VMEM and
+# ``CompilerParams(vmem_limit_bytes=...)`` unlocks it
+# (scripts/probe_vmem.py: a 120 MiB scratch compiles and runs).
+#
+# ``bp_decode_rounds_qc`` therefore keeps the ENTIRE decode state resident
+# in VMEM — totals [nb_v, z, B], messages [nb_c, dc, z, B], priors, and the
+# syndrome (int8) — and advances K full BP iterations per kernel call:
+# circulant "gathers" become in-VMEM rolls of [z, B] slabs, and HBM is
+# touched only to load/store the state once per K iterations (~170 MB per
+# chunk instead of ~300 MB per iteration).  Convergence semantics
+# (per-frame done mask, iters recorded at first convergence, final totals
+# captured at that exact iteration) match models/qc_decoder._build_dense
+# bit-for-bit for the min-sum rule (reduction orders deliberately mirrored)
+# and to f32 summation order for sum-product.
+# Reference semantics: qamreconciliation/decoder.pyx:391-436 (loop),
+# 322-369 (check update), 251-257 (convergence test).
+
+
+def _pick_zchunk(z: int, target: int = 512) -> int | None:
+    """Largest divisor of z that is sublane-aligned (%8) and <= target.
+
+    The check phase upcasts [dc, ZC, B] slabs to f32 for the message math;
+    chunking z bounds those temporaries (~6 live slabs) so they fit beside
+    the ~90 MB resident state.  None if z has no 8-aligned divisor."""
+    cands = [d for d in range(8, min(z, target) + 1, 8) if z % d == 0]
+    return max(cands) if cands else None
+
+
+def resident_vmem_bytes(nb_v: int, nb_c: int, dc: int, z: int, B: int,
+                        dtype) -> int:
+    """Padded-VMEM model of the resident state (tile-padded dims)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    sub = {2: 16, 4: 8}.get(itemsize, 8)
+    zp = -(-z // sub) * sub
+    zp8 = -(-z // 32) * 32          # int8 syndrome tile
+    bp = -(-B // 128) * 128
+    msg = (nb_v + nb_c * dc + nb_v) * zp * bp * itemsize   # total+c2v+prior
+    synd = nb_c * zp8 * bp
+    return msg + synd
+
+
+def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
+                        k_rounds: int = 8, tiny: float = 1e-30,
+                        interpret: bool = False, z_chunk: int | None = None):
+    """Build the K-iteration VMEM-resident QC flooding kernel.
+
+    Args:
+      rows: per-check-block base-edge lists ``rows[cb] = [(vb, shift), ...]``
+        (uniform length dc), QCDecoder's convention.
+      z: circulant size.
+      rule: "sumproduct" | "minsum" (see ops/boxplus.py).
+      k_rounds: BP iterations advanced per kernel call.
+      interpret: Pallas interpreter (CPU tests).
+
+    Returns ``step(it0, maxiter, total, c2v, prior, synd8, final, done,
+    iters) -> (total, c2v, final, done, iters)`` advancing ``k_rounds``
+    flooding iterations.  Shapes: total/prior/final [nb_v, z, B]; c2v
+    [nb_c, dc, z, B]; synd8 [nb_c, z, B] int8; done/iters [8, B] int32
+    (sublane-replicated frame masks); it0/maxiter scalar int32 arrays of
+    shape (1, 1).  Iterations with ``it0 + k >= maxiter`` are no-ops, so
+    chunk overrun past maxiter is harmless.
+    """
+    nb_c = len(rows)
+    nb_v = max(v for row in rows for (v, _) in row) + 1
+    dc = len(rows[0])
+    ZC = z_chunk or _pick_zchunk(z)
+    if ZC is None:
+        raise ValueError(
+            f"z={z} has no 8-aligned divisor; resident kernel unavailable"
+        )
+    nzc = z // ZC
+    # reverse adjacency in scatter_partials' accumulation order (cb
+    # ascending, slot ascending) so the bf16/f32 left-fold sums are
+    # bit-identical to the XLA path (models/qc_decoder.scatter_partials)
+    cols = [[] for _ in range(nb_v)]
+    for cb, row in enumerate(rows):
+        for d, (v, s) in enumerate(row):
+            cols[v].append((cb, d, s))
+
+    def kernel(it0_ref, maxiter_ref, total_in, c2v_in, prior_in, synd_in,
+               final_in, done_in, iters_in,
+               total_out, c2v_out, final_out, done_out, iters_out,
+               total_s, c2v_s, prior_s, synd_s, done_s, iters_s,
+               blend_s, sems):
+        dtype = total_s.dtype
+        # ---- load state into VMEM (one DMA each) ----
+        loads = [
+            pltpu.make_async_copy(total_in, total_s, sems.at[0]),
+            pltpu.make_async_copy(c2v_in, c2v_s, sems.at[1]),
+            pltpu.make_async_copy(prior_in, prior_s, sems.at[2]),
+            pltpu.make_async_copy(synd_in, synd_s, sems.at[3]),
+        ]
+        for d_ in loads:
+            d_.start()
+        # final rides HBM (written only at capture events); seed the output
+        # copy so read-modify-write blends see the carried state
+        fcopy = pltpu.make_async_copy(final_in, final_out, sems.at[4])
+        fcopy.start()
+        for d_ in loads:
+            d_.wait()
+        fcopy.wait()
+        done_s[:] = done_in[:]
+        iters_s[:] = iters_in[:]
+
+        def one_iteration(k, _):
+            it = it0_ref[0, 0] + k
+
+            @pl.when(it < maxiter_ref[0, 0])
+            def _():
+                # ---- pass 1: check phase (conv test + c2v update) ----
+                viol = jnp.zeros((8, done_s.shape[1]), jnp.int32)
+                for cb, row in enumerate(rows):
+                    # circulant "gather": in-VMEM rolls of [z, B] slabs
+                    # (t[d, j] = total[vb, (j - s) % z], the same
+                    # convention as qc_decoder.gather_totals)
+                    rolled = [
+                        pltpu.roll(total_s[v], s % z, 0)
+                        for (v, s) in row
+                    ]
+                    for zc in range(nzc):
+                        sl = slice(zc * ZC, (zc + 1) * ZC)
+                        t = jnp.stack(
+                            [r[sl] for r in rolled]
+                        ).astype(jnp.float32)              # [dc, ZC, B]
+                        synd_i = synd_s[cb, sl].astype(jnp.int32)
+                        neg_t = (t < 0).astype(jnp.int32)
+                        parity = jnp.sum(neg_t, axis=0) & 1
+                        bad = (parity != synd_i).astype(jnp.int32)
+                        cnt = jnp.sum(bad, axis=0)          # [B]
+                        viol = viol + jnp.broadcast_to(
+                            cnt[None, :], viol.shape
+                        )
+                        v2c = t - c2v_s[cb, :, sl].astype(jnp.float32)
+                        if rule == "minsum":
+                            mag = MINSUM_ALPHA * minsum_extrinsic_mag(
+                                jnp.abs(v2c), 0
+                            )
+                        else:
+                            phim = phi_llr(jnp.abs(v2c), tiny)
+                            s_phi = jnp.sum(phim, axis=0, keepdims=True)
+                            mag = phi_llr(s_phi - phim, tiny)
+                        neg = (v2c < 0).astype(jnp.int32)
+                        par = jnp.sum(neg, axis=0, keepdims=True) & 1
+                        sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(
+                            jnp.float32
+                        )
+                        pref = (1 - 2 * synd_i).astype(jnp.float32)[None]
+                        c2v_s[cb, :, sl] = (sign * pref * mag).astype(dtype)
+
+                # ---- bookkeeping: iters / done / final capture ----
+                conv = (viol == 0).astype(jnp.int32)        # [8, B]
+                newly = conv * (1 - done_s[:])
+                iters_s[:] = jnp.where(newly > 0, it, iters_s[:])
+                done_s[:] = jnp.maximum(done_s[:], conv)
+                any_newly = jnp.sum(newly[0:1, :]) > 0
+
+                @pl.when(any_newly)
+                def _capture():
+                    # capture-at-convergence: blend the pre-update totals
+                    # into the HBM-resident final buffer for the newly
+                    # converged frames only (rare event; see
+                    # models/qc_decoder._build_dense final_new)
+                    nw = newly[0:1, :] > 0                  # [1, B]
+                    for vb in range(nb_v):
+                        rd = pltpu.make_async_copy(
+                            final_out.at[vb], blend_s, sems.at[5]
+                        )
+                        rd.start()
+                        rd.wait()
+                        blend_s[:] = jnp.where(
+                            nw, total_s[vb], blend_s[:]
+                        )
+                        wr = pltpu.make_async_copy(
+                            blend_s, final_out.at[vb], sems.at[5]
+                        )
+                        wr.start()
+                        wr.wait()
+
+                # ---- pass 2: variable update (totals from new c2v) ----
+                for vb in range(nb_v):
+                    if not cols[vb]:
+                        total_s[vb] = prior_s[vb]
+                        continue
+                    acc = None
+                    for (cb, d, s) in cols[vb]:
+                        slab = pltpu.roll(c2v_s[cb, d], (-s) % z, 0)
+                        acc = slab if acc is None else acc + slab
+                    total_s[vb] = prior_s[vb] + acc
+
+            return ()
+
+        jax.lax.fori_loop(0, k_rounds, one_iteration, ())
+
+        # ---- store state back (final already in HBM) ----
+        stores = [
+            pltpu.make_async_copy(total_s, total_out, sems.at[0]),
+            pltpu.make_async_copy(c2v_s, c2v_out, sems.at[1]),
+        ]
+        for d_ in stores:
+            d_.start()
+        done_out[:] = done_s[:]
+        iters_out[:] = iters_s[:]
+        for d_ in stores:
+            d_.wait()
+
+    def step(it0, maxiter, total, c2v, prior, synd8, final, done, iters):
+        dtype = total.dtype
+        B = total.shape[-1]
+        state_bytes = resident_vmem_bytes(nb_v, nb_c, dc, z, B, dtype)
+        vlimit = min(int(state_bytes + 24 * 2**20), 127 * 2**20)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem_spec = pl.BlockSpec(memory_space=_VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(total.shape, dtype),
+                jax.ShapeDtypeStruct(c2v.shape, dtype),
+                jax.ShapeDtypeStruct(final.shape, dtype),
+                jax.ShapeDtypeStruct(done.shape, jnp.int32),
+                jax.ShapeDtypeStruct(iters.shape, jnp.int32),
+            ),
+            in_specs=[smem_spec, smem_spec, any_spec, any_spec, any_spec,
+                      any_spec, any_spec, vmem_spec, vmem_spec],
+            out_specs=(any_spec, any_spec, any_spec, vmem_spec, vmem_spec),
+            scratch_shapes=[
+                pltpu.VMEM((nb_v, z, B), dtype),          # total_s
+                pltpu.VMEM((nb_c, dc, z, B), dtype),      # c2v_s
+                pltpu.VMEM((nb_v, z, B), dtype),          # prior_s
+                pltpu.VMEM((nb_c, z, B), jnp.int8),       # synd_s
+                pltpu.VMEM((8, B), jnp.int32),            # done_s
+                pltpu.VMEM((8, B), jnp.int32),            # iters_s
+                pltpu.VMEM((z, B), dtype),                # blend_s
+                pltpu.SemaphoreType.DMA((6,)),
+            ],
+            input_output_aliases={2: 0, 3: 1, 6: 2},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vlimit
+            ) if pltpu is not None and not interpret else None,
+            interpret=interpret,
+        )(it0, maxiter, total, c2v, prior, synd8, final, done, iters)
+
+    return step

@@ -109,6 +109,19 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "this granularity, iters/success stay sweep-exact)",
     )
     parser.add_argument(
+        "--resident", action="store_true",
+        help="QC flooding only: run the VMEM-resident multi-iteration "
+        "decode kernel (whole decode state in on-chip VMEM, "
+        "--resident-chunk BP iterations per dispatch; needs the state to "
+        "fit ~100 MB of VMEM — DVB-S2-scale codes at batch<=128)",
+    )
+    parser.add_argument(
+        "--resident-chunk", type=int, default=8,
+        help="Resident kernel only: BP iterations per kernel call (early "
+        "exit coarsens to this granularity; iters/success/final stay "
+        "per-iteration exact)",
+    )
+    parser.add_argument(
         "--lift-qc", action="store_true",
         help="Detect circulant (quasi-cyclic) structure in an EXPANDED "
         "edge-list CSV — the format real standards like DVB-S2/5G ship in — "
@@ -129,13 +142,16 @@ def load_decoder(args):
 
     schedule = getattr(args, "schedule", "flooding")
     chunk = getattr(args, "layered_chunk", 4)
+    resident = getattr(args, "resident", False)
+    resident_chunk = getattr(args, "resident_chunk", 8)
     if getattr(args, "qc", False):
         from ..models.qc_decoder import QCDecoder, load_qc_csv
 
         base_edges, z = load_qc_csv(args.edgefile)
         dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
                         check_rule=args.check_rule, schedule=schedule,
-                        layered_chunk=chunk)
+                        layered_chunk=chunk, resident=resident,
+                        resident_chunk=resident_chunk)
         return dec, dec.graph.e_to_v, dec.graph.e_to_c
     from ..models.decoder import Decoder
     from ..utils.edgefile import load_edge_csv
@@ -153,7 +169,9 @@ def load_decoder(args):
             try:
                 dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
                                 check_rule=args.check_rule,
-                                schedule=schedule, layered_chunk=chunk)
+                                schedule=schedule, layered_chunk=chunk,
+                                resident=resident,
+                                resident_chunk=resident_chunk)
                 print(f"[lift-qc] detected z={z} circulant lifting "
                       f"({len(base_edges)} base edges)")
                 return dec, vid, cid
@@ -167,6 +185,12 @@ def load_decoder(args):
 
             warnings.warn("--lift-qc: no circulant structure detected; "
                           "using the generic decoder")
+    if resident:
+        raise SystemExit(
+            "--resident requires a quasi-cyclic decoder (--qc or a "
+            "successful --lift-qc); the generic gather decoder has no "
+            "VMEM-resident loop"
+        )
     if schedule != "flooding":
         raise SystemExit(
             "--schedule layered requires a quasi-cyclic decoder "

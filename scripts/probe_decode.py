@@ -31,6 +31,8 @@ def main():
                     choices=["sumproduct", "minsum"])
     ap.add_argument("--schedule", default="flooding",
                     choices=["flooding", "layered"])
+    ap.add_argument("--resident", type=int, default=0)
+    ap.add_argument("--resident-chunk", type=int, default=8)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -47,7 +49,9 @@ def main():
         z = args.n // 36
         base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas),
-                        check_rule=args.check, schedule=args.schedule)
+                        check_rule=args.check, schedule=args.schedule,
+                        resident=bool(args.resident),
+                        resident_chunk=args.resident_chunk)
     else:
         from qamreconciliation_tpu.models.decoder import Decoder
         from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc
@@ -75,7 +79,7 @@ def main():
     print(json.dumps({
         "n": args.n, "batch": args.batch, "qc": args.qc,
         "pallas": args.pallas, "dtype": args.dtype, "check": args.check,
-        "schedule": args.schedule,
+        "schedule": args.schedule, "resident": args.resident,
         "ms_per_iter": round(ms_iter, 3),
         "decode_fps": round(args.batch / (ms_iter * args.maxiter) * 1e3, 1),
         "compile_s": round(compile_s, 1),

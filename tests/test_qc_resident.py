@@ -1,0 +1,118 @@
+"""VMEM-resident multi-iteration QC decoder: parity with the dense path.
+
+``QCDecoder(resident=True)`` runs K flooding iterations per Pallas kernel
+dispatch with the whole decode state in VMEM (ops/pallas_kernels.py:
+bp_decode_rounds_qc).  The kernel mirrors the dense path's reduction and
+accumulation orders, so for the min-sum rule (min/compare/select — exact
+ops) the (success, iters, final) triple must be BIT-IDENTICAL to
+``_build_dense`` with the XLA check phase; sum-product agrees on
+(success, iters) with final LLRs equal to f32 summation-order tolerance.
+Convergence semantics per reference: qamreconciliation/decoder.pyx:391-436.
+Tests run the Pallas interpreter on CPU (conftest forces the CPU backend).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qamreconciliation_tpu import Matrix
+from qamreconciliation_tpu.models.qc_decoder import QCDecoder, make_qc_ldpc
+
+
+@pytest.fixture(scope="module")
+def qc():
+    base, vid, cid = make_qc_ldpc(nb_v=12, z=16, dv=3, dc=6, seed=4)
+    return base, vid, cid
+
+
+def _frames(qc, B, seed=1, noise=2.0):
+    base, vid, cid = qc
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(seed)
+    V = 12 * 16
+    word = rng.integers(0, 2, (B, V))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, noise, (B, V))
+    return llr, synd
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+def test_resident_matches_dense_minsum(qc, dtype):
+    """min-sum: bit-identical (success, iters, final) vs the dense XLA
+    path — same reduction orders, exact select arithmetic."""
+    base, _, _ = qc
+    dense = QCDecoder(base, 16, dtype=dtype, use_pallas=False,
+                      check_rule="minsum")
+    res = QCDecoder(base, 16, dtype=dtype, check_rule="minsum",
+                    resident=True, resident_chunk=4)
+    llr, synd = _frames(qc, B=8)
+    s1, i1, f1 = dense.decode_batch(llr, synd, 30)
+    s2, i2, f2 = res.decode_batch(llr, synd, 30)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(
+        np.asarray(f1, np.float32), np.asarray(f2, np.float32)
+    )
+    assert int(np.asarray(s1).sum()) > 0        # some frames converge
+    assert int(np.asarray(i1).max()) > 0        # ... after real iterations
+
+
+def test_resident_matches_dense_sumproduct(qc):
+    """sum-product: (success, iters) identical; final LLRs to f32
+    summation-order tolerance (the kernel's running phi sum vs XLA's
+    reduce order)."""
+    base, _, _ = qc
+    dense = QCDecoder(base, 16, dtype=jnp.float32, use_pallas=False)
+    res = QCDecoder(base, 16, dtype=jnp.float32, resident=True,
+                    resident_chunk=4)
+    llr, synd = _frames(qc, B=8, seed=3)
+    s1, i1, f1 = dense.decode_batch(llr, synd, 25)
+    s2, i2, f2 = res.decode_batch(llr, synd, 25)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f2), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_resident_chunk_overrun_and_passthrough(qc):
+    """maxiter not divisible by the chunk: iterations past maxiter are
+    in-kernel no-ops, so failed frames' finals snapshot exactly at
+    maxiter; already-consistent inputs pass through with iters == 0
+    (reference: decoder.pyx:402-405)."""
+    base, _, _ = qc
+    dense = QCDecoder(base, 16, dtype=jnp.float32, use_pallas=False,
+                      check_rule="minsum")
+    res = QCDecoder(base, 16, dtype=jnp.float32, check_rule="minsum",
+                    resident=True, resident_chunk=4)
+    llr, synd = _frames(qc, B=8, seed=7, noise=3.0)
+    for maxiter in (0, 1, 7):
+        s1, i1, f1 = dense.decode_batch(llr, synd, maxiter)
+        s2, i2, f2 = res.decode_batch(llr, synd, maxiter)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(
+            np.asarray(f1, np.float32), np.asarray(f2, np.float32)
+        )
+    # iters == 0 passthrough: decode a consistent word's own syndrome
+    word = (np.asarray(llr) < 0).astype(np.int64)
+    mat = Matrix(*_expanded(qc))
+    synd_ok = np.asarray(mat.eval_syndrome(word))
+    s, i, f = res.decode_batch(llr, synd_ok, 10)
+    assert bool(np.asarray(s).all())
+    np.testing.assert_array_equal(np.asarray(i), 0)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(llr, np.float32))
+
+
+def _expanded(qc):
+    _, vid, cid = qc
+    return vid, cid
+
+
+def test_resident_option_validation(qc):
+    base, _, _ = qc
+    with pytest.raises(ValueError):
+        QCDecoder(base, 16, resident=True, schedule="layered")
+    with pytest.raises(ValueError):
+        QCDecoder(base, 16, resident=True, compressed=True,
+                  check_rule="minsum")
