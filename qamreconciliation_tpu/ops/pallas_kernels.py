@@ -377,13 +377,20 @@ def check_node_update_pallas(
 # 322-369 (check update), 251-257 (convergence test).
 
 
-def _pick_zchunk(z: int, target: int = 512) -> int | None:
-    """Largest divisor of z that is sublane-aligned (%8) and <= target.
+def _pick_zchunk(z: int, B: int = 128, dc: int = 6) -> int | None:
+    """Largest divisor of z whose f32 chunk temporaries fit ~32 MB.
 
-    The check phase upcasts [dc, ZC, B] slabs to f32 for the message math;
-    chunking z bounds those temporaries (~6 live slabs) so they fit beside
-    the ~90 MB resident state.  None if z has no 8-aligned divisor."""
-    cands = [d for d in range(8, min(z, target) + 1, 8) if z % d == 0]
+    Two measured failure modes bound the choice (N=64800, B=128, v5e):
+    small chunks multiply the unrolled block count and Mosaic's register
+    allocator keeps ~one [dc, ZC, B] f32 value live per block (ZC=360 ->
+    90 blocks -> 60-85 MB of spill slots -> VMEM OOM), while ZC=z would
+    make each block's ~12 live f32 temporaries ~64 MB.  ZC=900 (2 chunks,
+    36 blocks) compiles and runs at 0.45 ms/iter.  Chunk boundaries need
+    no sublane alignment (they are value slices of a VMEM ref, not
+    BlockSpec dims)."""
+    b_pad = -(-B // 128) * 128
+    cap = (32 * 2**20) // (12 * dc * b_pad * 4)
+    cands = [d for d in range(1, min(z, cap) + 1) if z % d == 0]
     return max(cands) if cands else None
 
 
@@ -395,7 +402,8 @@ def resident_vmem_bytes(nb_v: int, nb_c: int, dc: int, z: int, B: int,
     zp = -(-z // sub) * sub
     zp8 = -(-z // 32) * 32          # int8 syndrome tile
     bp = -(-B // 128) * 128
-    msg = (nb_v + nb_c * dc + nb_v) * zp * bp * itemsize   # total+c2v+prior
+    # total + c2v + prior + final message-width scratch, plus int8 syndrome
+    msg = (3 * nb_v + nb_c * dc) * zp * bp * itemsize
     synd = nb_c * zp8 * bp
     return msg + synd
 
@@ -424,12 +432,6 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
     nb_c = len(rows)
     nb_v = max(v for row in rows for (v, _) in row) + 1
     dc = len(rows[0])
-    ZC = z_chunk or _pick_zchunk(z)
-    if ZC is None:
-        raise ValueError(
-            f"z={z} has no 8-aligned divisor; resident kernel unavailable"
-        )
-    nzc = z // ZC
     # reverse adjacency in scatter_partials' accumulation order (cb
     # ascending, slot ascending) so the bf16/f32 left-fold sums are
     # bit-identical to the XLA path (models/qc_decoder.scatter_partials)
@@ -438,58 +440,80 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         for d, (v, s) in enumerate(row):
             cols[v].append((cb, d, s))
 
-    def kernel(it0_ref, maxiter_ref, total_in, c2v_in, prior_in, synd_in,
-               final_in, done_in, iters_in,
-               total_out, c2v_out, final_out, done_out, iters_out,
-               total_s, c2v_s, prior_s, synd_s, done_s, iters_s,
-               blend_s, sems):
-        dtype = total_s.dtype
-        # ---- load state into VMEM (one DMA each) ----
-        loads = [
-            pltpu.make_async_copy(total_in, total_s, sems.at[0]),
-            pltpu.make_async_copy(c2v_in, c2v_s, sems.at[1]),
-            pltpu.make_async_copy(prior_in, prior_s, sems.at[2]),
-            pltpu.make_async_copy(synd_in, synd_s, sems.at[3]),
-        ]
-        for d_ in loads:
-            d_.start()
-        # final rides HBM (written only at capture events); seed the output
-        # copy so read-modify-write blends see the carried state
-        fcopy = pltpu.make_async_copy(final_in, final_out, sems.at[4])
-        fcopy.start()
-        for d_ in loads:
-            d_.wait()
-        fcopy.wait()
-        done_s[:] = done_in[:]
-        iters_s[:] = iters_in[:]
+    def _read_rolled_chunk(slab_ref, s, j0, ZCk):
+        """Rows [j0, j0+ZCk) of ``jnp.roll(slab, s, 0)`` read DIRECTLY from
+        a [z, B] VMEM ref as one or two STATIC slices (Mosaic's
+        tpu.dynamic_rotate only supports 32-bit element types; the
+        circulant shifts are compile-time constants anyway).
 
-        def one_iteration(k, _):
-            it = it0_ref[0, 0] + k
+        Materializing whole rolled [z, B] slabs as values made Mosaic keep
+        dozens of them live across the unrolled block loop — 55 MB of
+        register-allocator spill slots at DVB-S2 scale, an 11 MB VMEM OOM.
+        roll(x, s)[j] = x[(j - s) % z], so the chunk is the contiguous
+        (mod z) source window starting at (j0 - s) % z."""
+        start = (j0 - s) % z
+        if start + ZCk <= z:
+            return slab_ref[start:start + ZCk]
+        head = slab_ref[start:z]
+        return jnp.concatenate([head, slab_ref[0:start + ZCk - z]], axis=0)
 
-            @pl.when(it < maxiter_ref[0, 0])
-            def _():
+    def _make_kernel(ZC, nzc):
+        def kernel(it0_ref, maxiter_ref, total_in, c2v_in, prior_in, synd_in,
+                   final_in, done_in, iters_in,
+                   total_out, c2v_out, final_out, done_out, iters_out,
+                   total_s, c2v_s, prior_s, final_s, synd_s, done_s, iters_s,
+                   viol_s, sems):
+            dtype = total_s.dtype
+            # ---- load state into VMEM (one DMA each) ----
+            loads = [
+                pltpu.make_async_copy(total_in, total_s, sems.at[0]),
+                pltpu.make_async_copy(c2v_in, c2v_s, sems.at[1]),
+                pltpu.make_async_copy(prior_in, prior_s, sems.at[2]),
+                pltpu.make_async_copy(synd_in, synd_s, sems.at[3]),
+                pltpu.make_async_copy(final_in, final_s, sems.at[4]),
+            ]
+            for d_ in loads:
+                d_.start()
+            for d_ in loads:
+                d_.wait()
+            done_s[:] = done_in[:]
+            iters_s[:] = iters_in[:]
+
+            # dynamic trip count instead of a predicated body: iterations past
+            # maxiter simply don't run (predicating the whole body with
+            # @pl.when contributed to the register-spill blowup below)
+            n_it = jnp.maximum(
+                jnp.minimum(k_rounds, maxiter_ref[0, 0] - it0_ref[0, 0]), 0
+            )
+
+            def one_iteration(k, _):
+                it = it0_ref[0, 0] + k
+
                 # ---- pass 1: check phase (conv test + c2v update) ----
-                viol = jnp.zeros((8, done_s.shape[1]), jnp.int32)
+                # Each chunk-block writes its violation count into its OWN
+                # viol_s slot: both a value-SSA accumulation chain and a
+                # single read-modify-write ref made Mosaic keep every
+                # chunk-block's parity intermediates live at once (measured
+                # 31-85 MB of register spill slots -> VMEM OOM); independent
+                # slot writes + one reduce at the end keep the blocks
+                # schedulable in isolation.
                 for cb, row in enumerate(rows):
-                    # circulant "gather": in-VMEM rolls of [z, B] slabs
-                    # (t[d, j] = total[vb, (j - s) % z], the same
-                    # convention as qc_decoder.gather_totals)
-                    rolled = [
-                        pltpu.roll(total_s[v], s % z, 0)
-                        for (v, s) in row
-                    ]
+                    # circulant "gather": rolled chunks read straight from
+                    # the VMEM ref (t[d, j] = total[vb, (j - s) % z], the
+                    # same convention as qc_decoder.gather_totals)
                     for zc in range(nzc):
                         sl = slice(zc * ZC, (zc + 1) * ZC)
-                        t = jnp.stack(
-                            [r[sl] for r in rolled]
-                        ).astype(jnp.float32)              # [dc, ZC, B]
+                        t = jnp.stack([
+                            _read_rolled_chunk(total_s.at[v], s, zc * ZC, ZC)
+                            for (v, s) in row
+                        ]).astype(jnp.float32)             # [dc, ZC, B]
                         synd_i = synd_s[cb, sl].astype(jnp.int32)
                         neg_t = (t < 0).astype(jnp.int32)
                         parity = jnp.sum(neg_t, axis=0) & 1
                         bad = (parity != synd_i).astype(jnp.int32)
                         cnt = jnp.sum(bad, axis=0)          # [B]
-                        viol = viol + jnp.broadcast_to(
-                            cnt[None, :], viol.shape
+                        viol_s[cb * nzc + zc] = jnp.broadcast_to(
+                            cnt[None, :], (8, cnt.shape[0])
                         )
                         v2c = t - c2v_s[cb, :, sl].astype(jnp.float32)
                         if rule == "minsum":
@@ -509,66 +533,71 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         c2v_s[cb, :, sl] = (sign * pref * mag).astype(dtype)
 
                 # ---- bookkeeping: iters / done / final capture ----
-                conv = (viol == 0).astype(jnp.int32)        # [8, B]
+                conv = (jnp.sum(viol_s[:], axis=0) == 0).astype(
+                    jnp.int32
+                )                                           # [8, B]
                 newly = conv * (1 - done_s[:])
                 iters_s[:] = jnp.where(newly > 0, it, iters_s[:])
                 done_s[:] = jnp.maximum(done_s[:], conv)
-                any_newly = jnp.sum(newly[0:1, :]) > 0
 
-                @pl.when(any_newly)
-                def _capture():
-                    # capture-at-convergence: blend the pre-update totals
-                    # into the HBM-resident final buffer for the newly
-                    # converged frames only (rare event; see
-                    # models/qc_decoder._build_dense final_new)
-                    nw = newly[0:1, :] > 0                  # [1, B]
-                    for vb in range(nb_v):
-                        rd = pltpu.make_async_copy(
-                            final_out.at[vb], blend_s, sems.at[5]
-                        )
-                        rd.start()
-                        rd.wait()
-                        blend_s[:] = jnp.where(
-                            nw, total_s[vb], blend_s[:]
-                        )
-                        wr = pltpu.make_async_copy(
-                            blend_s, final_out.at[vb], sems.at[5]
-                        )
-                        wr.start()
-                        wr.wait()
+                # capture-at-convergence: blend the pre-update totals into
+                # the VMEM-resident final buffer for newly converged frames.
+                # UNconditional on purpose: predicating these 36 vector
+                # read-modify-writes on a data-dependent scalar
+                # (pl.when(any_newly)) pushed Mosaic into a spill-heavy
+                # scheduling regime, and the blend is only ~33 MB of VMEM
+                # traffic (~10 us) per iteration anyway.
+                nw = newly[0:1, :] > 0                      # [1, B]
+                for vb in range(nb_v):
+                    final_s[vb] = jnp.where(nw, total_s[vb], final_s[vb])
 
                 # ---- pass 2: variable update (totals from new c2v) ----
+                # (also chunked so every value temp is [ZC, B]-sized)
                 for vb in range(nb_v):
-                    if not cols[vb]:
-                        total_s[vb] = prior_s[vb]
-                        continue
-                    acc = None
-                    for (cb, d, s) in cols[vb]:
-                        slab = pltpu.roll(c2v_s[cb, d], (-s) % z, 0)
-                        acc = slab if acc is None else acc + slab
-                    total_s[vb] = prior_s[vb] + acc
+                    for zc in range(nzc):
+                        sl = slice(zc * ZC, (zc + 1) * ZC)
+                        acc = None
+                        for (cb, d, s) in cols[vb]:
+                            slab = _read_rolled_chunk(
+                                c2v_s.at[cb, d], -s, zc * ZC, ZC
+                            )
+                            acc = slab if acc is None else acc + slab
+                        if acc is None:      # isolated block (file gap)
+                            total_s[vb, sl] = prior_s[vb, sl]
+                        else:
+                            total_s[vb, sl] = prior_s[vb, sl] + acc
 
-            return ()
+                return ()
 
-        jax.lax.fori_loop(0, k_rounds, one_iteration, ())
+            jax.lax.fori_loop(0, n_it, one_iteration, ())
 
-        # ---- store state back (final already in HBM) ----
-        stores = [
-            pltpu.make_async_copy(total_s, total_out, sems.at[0]),
-            pltpu.make_async_copy(c2v_s, c2v_out, sems.at[1]),
-        ]
-        for d_ in stores:
-            d_.start()
-        done_out[:] = done_s[:]
-        iters_out[:] = iters_s[:]
-        for d_ in stores:
-            d_.wait()
+            # ---- store state back ----
+            stores = [
+                pltpu.make_async_copy(total_s, total_out, sems.at[0]),
+                pltpu.make_async_copy(c2v_s, c2v_out, sems.at[1]),
+                pltpu.make_async_copy(final_s, final_out, sems.at[2]),
+            ]
+            for d_ in stores:
+                d_.start()
+            done_out[:] = done_s[:]
+            iters_out[:] = iters_s[:]
+            for d_ in stores:
+                d_.wait()
+
+        return kernel
 
     def step(it0, maxiter, total, c2v, prior, synd8, final, done, iters):
         dtype = total.dtype
         B = total.shape[-1]
+        ZC = z_chunk or _pick_zchunk(z, B=B, dc=dc)
+        if ZC is None or z % ZC:
+            raise ValueError(
+                f"no legal resident z-chunking for z={z}, B={B}"
+            )
+        nzc = z // ZC
+        kernel = _make_kernel(ZC, nzc)
         state_bytes = resident_vmem_bytes(nb_v, nb_c, dc, z, B, dtype)
-        vlimit = min(int(state_bytes + 24 * 2**20), 127 * 2**20)
+        vlimit = min(int(state_bytes + 40 * 2**20), 127 * 2**20)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         vmem_spec = pl.BlockSpec(memory_space=_VMEM)
@@ -588,13 +617,18 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 pltpu.VMEM((nb_v, z, B), dtype),          # total_s
                 pltpu.VMEM((nb_c, dc, z, B), dtype),      # c2v_s
                 pltpu.VMEM((nb_v, z, B), dtype),          # prior_s
+                pltpu.VMEM((nb_v, z, B), dtype),          # final_s
                 pltpu.VMEM((nb_c, z, B), jnp.int8),       # synd_s
                 pltpu.VMEM((8, B), jnp.int32),            # done_s
                 pltpu.VMEM((8, B), jnp.int32),            # iters_s
-                pltpu.VMEM((z, B), dtype),                # blend_s
-                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.VMEM((nb_c * nzc, 8, B), jnp.int32),  # viol_s
+                pltpu.SemaphoreType.DMA((5,)),
             ],
-            input_output_aliases={2: 0, 3: 1, 6: 2},
+            # total/c2v are donated in-place; final is NOT aliased
+            # (the kernel seeds final_out from final_in with an
+            # explicit DMA — aliasing would make that a same-
+            # address copy)
+            input_output_aliases={2: 0, 3: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vlimit
             ) if pltpu is not None and not interpret else None,

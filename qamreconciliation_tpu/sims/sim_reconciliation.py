@@ -92,6 +92,12 @@ def main(argv=None):
         )
     if args.graph_shard and args.schedule != "flooding":
         raise SystemExit("--graph-shard supports only --schedule flooding")
+    if getattr(args, "resident", False) and args.point_batch:
+        raise SystemExit(
+            "--resident is incompatible with --point-batch (the SNR-point "
+            "vmap cannot wrap the VMEM-resident kernel: one point's state "
+            "already fills on-chip VMEM)"
+        )
     dec, vid, cid = load_decoder(args)
     if args.graph_shard:
         from ..parallel import make_mesh
