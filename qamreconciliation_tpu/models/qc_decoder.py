@@ -89,7 +89,7 @@ class QCDecoder:
                  schedule: str = "flooding",
                  layered_chunk: int = 4,
                  resident: bool | None = None,
-                 resident_chunk: int = 8):
+                 resident_chunk: int = 50):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):

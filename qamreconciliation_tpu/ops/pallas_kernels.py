@@ -597,7 +597,7 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         nzc = z // ZC
         kernel = _make_kernel(ZC, nzc)
         state_bytes = resident_vmem_bytes(nb_v, nb_c, dc, z, B, dtype)
-        vlimit = min(int(state_bytes + 40 * 2**20), 127 * 2**20)
+        vlimit = min(int(state_bytes + 40 * 2**20), 128 * 2**20)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         vmem_spec = pl.BlockSpec(memory_space=_VMEM)

@@ -116,10 +116,11 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "fit ~100 MB of VMEM — DVB-S2-scale codes at batch<=128)",
     )
     parser.add_argument(
-        "--resident-chunk", type=int, default=8,
-        help="Resident kernel only: BP iterations per kernel call (early "
-        "exit coarsens to this granularity; iters/success/final stay "
-        "per-iteration exact)",
+        "--resident-chunk", type=int, default=50,
+        help="Resident kernel only: max BP iterations per kernel call "
+        "(early exit is iteration-exact inside the kernel, so large "
+        "chunks cost nothing; one call per decode when it covers "
+        "--maxiter)",
     )
     parser.add_argument(
         "--lift-qc", action="store_true",

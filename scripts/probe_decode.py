@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--schedule", default="flooding",
                     choices=["flooding", "layered"])
     ap.add_argument("--resident", type=int, default=0)
-    ap.add_argument("--resident-chunk", type=int, default=8)
+    ap.add_argument("--resident-chunk", type=int, default=50)
     args = ap.parse_args()
 
     import jax.numpy as jnp

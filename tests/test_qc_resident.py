@@ -116,3 +116,31 @@ def test_resident_option_validation(qc):
     with pytest.raises(ValueError):
         QCDecoder(base, 16, resident=True, compressed=True,
                   check_rule="minsum")
+
+
+def test_resident_composes_with_engine_scan(qc):
+    """The resident decoder must ride the engine's rounds_per_dispatch
+    lax.scan (pallas_call inside a scan body) and produce counters that
+    statistically match the dense decoder on the same seeds."""
+    import jax.numpy as jnp
+
+    from qamreconciliation_tpu import Matrix, PAMAlphabet
+    from qamreconciliation_tpu.sims.engine import ReconciliationEngine
+
+    base, vid, cid = qc
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    dense = QCDecoder(base, 16, dtype=jnp.float32, use_pallas=False,
+                      check_rule="minsum")
+    res = QCDecoder(base, 16, dtype=jnp.float32, check_rule="minsum",
+                    resident=True, resident_chunk=4)
+    kw = dict(batch=8, dtype=jnp.float32, rounds_per_dispatch=2)
+    r1 = ReconciliationEngine(dense, mat, pa, **kw).run_point(
+        "softening", 6.0, 10, 16, 10 ** 9, seed=3
+    )
+    r2 = ReconciliationEngine(res, mat, pa, **kw).run_point(
+        "softening", 6.0, 10, 16, 10 ** 9, seed=3
+    )
+    assert r1.frames == r2.frames
+    # same seeds + bit-identical decode => identical counters
+    assert (r1.ber, r1.fer, r1.iters) == (r2.ber, r2.fer, r2.iters)
