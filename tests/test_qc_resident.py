@@ -144,3 +144,32 @@ def test_resident_composes_with_engine_scan(qc):
     assert r1.frames == r2.frames
     # same seeds + bit-identical decode => identical counters
     assert (r1.ber, r1.fer, r1.iters) == (r2.ber, r2.fer, r2.iters)
+
+
+def test_resident_composes_with_frame_shard_dp(qc):
+    """Resident decoder inside shard_map (frame-shard DP, 2-way virtual
+    mesh): per-device pallas_call + psum counters must reproduce the
+    dense sharded round exactly (same per-device seeds)."""
+    import jax.numpy as jnp
+
+    from qamreconciliation_tpu import Matrix, PAMAlphabet
+    from qamreconciliation_tpu.parallel import make_mesh
+    from qamreconciliation_tpu.sims.engine import ReconciliationEngine
+
+    base, vid, cid = qc
+    mat = Matrix(vid, cid)
+    pa = PAMAlphabet(2, 2.0)
+    mesh = make_mesh(2)
+    dense = QCDecoder(base, 16, dtype=jnp.float32, use_pallas=False,
+                      check_rule="minsum")
+    res = QCDecoder(base, 16, dtype=jnp.float32, check_rule="minsum",
+                    resident=True, resident_chunk=4)
+    kw = dict(batch=8, dtype=jnp.float32, mesh_axis=(mesh, "dp"))
+    r1 = ReconciliationEngine(dense, mat, pa, **kw).run_point(
+        "softening", 6.0, 10, 16, 10 ** 9, seed=5
+    )
+    r2 = ReconciliationEngine(res, mat, pa, **kw).run_point(
+        "softening", 6.0, 10, 16, 10 ** 9, seed=5
+    )
+    assert r1.frames == r2.frames
+    assert (r1.ber, r1.fer, r1.iters) == (r2.ber, r2.fer, r2.iters)
