@@ -135,18 +135,28 @@ def main():
             )
         z = N_CODE // 36
         base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
-        resident = RESIDENT
-        if resident is None:
-            from qamreconciliation_tpu.ops.pallas_kernels import (
-                resident_vmem_bytes,
-            )
+        from qamreconciliation_tpu.ops.pallas_kernels import (
+            resident_vmem_bytes,
+        )
 
-            resident = (
-                SCHEDULE == "flooding"
-                and jax.default_backend() == "tpu"
-                and resident_vmem_bytes(36, 18, 6, z, BATCH, dt)
-                + 28 * 2 ** 20 <= 128 * 2 ** 20
-            )
+        resident_fits = (
+            SCHEDULE == "flooding"
+            and jax.default_backend() == "tpu"
+            and resident_vmem_bytes(36, 18, 6, z, BATCH, dt)
+            + 28 * 2 ** 20 <= 128 * 2 ** 20
+        )
+
+        def resident_for(rule):
+            # auto: resident only for sum-product — its tanh-F/B kernel is
+            # 1.41x the dense path (0.664 vs 0.935 ms/iter) and wins in
+            # both regimes; min-sum's 1.25x per-iter gain is eaten at the
+            # waterfall by the chunk-granular early exit (in-kernel breaks
+            # don't save time on Mosaic: while bodies run their full trip)
+            if RESIDENT is not None:
+                return RESIDENT and SCHEDULE == "flooding"
+            return resident_fits and rule == "sumproduct"
+
+        resident = resident_for(CHECK_RULE)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
                         check_rule=CHECK_RULE, schedule=SCHEDULE,
                         resident=bool(resident))
@@ -293,7 +303,8 @@ def main():
     if check2 != "none" and check2 != CHECK_RULE and MODE == "softening":
         if USE_QC:
             dec2 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
-                             check_rule=check2, resident=bool(resident))
+                             check_rule=check2,
+                             resident=bool(resident_for(check2)))
         else:
             dec2 = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS,
                            check_rule=check2)

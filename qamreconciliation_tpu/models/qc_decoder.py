@@ -89,7 +89,8 @@ class QCDecoder:
                  schedule: str = "flooding",
                  layered_chunk: int = 4,
                  resident: bool | None = None,
-                 resident_chunk: int = 50):
+                 resident_chunk: int = 16,
+                 resident_phi: str = "auto"):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
@@ -144,6 +145,16 @@ class QCDecoder:
         if int(resident_chunk) < 1:
             raise ValueError("resident_chunk must be >= 1")
         self.resident_chunk = int(resident_chunk)
+        # sum-product magnitude implementation inside the resident kernel:
+        # "phi" (matches the dense path's f32 rounding), "tanhfb" (tanh
+        # forward/backward products — same exact box-plus reduction at
+        # half the transcendental count; extrinsic saturation ~16.6 vs
+        # ~69, far beyond BP decision levels), or "auto" (tanhfb for
+        # bf16 message storage — whose 8-bit mantissa already dwarfs the
+        # f32 rounding differences — phi otherwise).
+        if resident_phi not in ("auto", "phi", "tanhfb"):
+            raise ValueError(f"unknown resident_phi {resident_phi!r}")
+        self.resident_phi = resident_phi
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -240,8 +251,12 @@ class QCDecoder:
         dtype = self.dtype
         K = self.resident_chunk
         interpret = jax.default_backend() != "tpu"
+        phi_impl = self.resident_phi
+        if phi_impl == "auto":
+            phi_impl = "tanhfb" if dtype == jnp.bfloat16 else "phi"
         step = bp_decode_rounds_qc(
-            rows, z, rule=self.check_rule, k_rounds=K, interpret=interpret
+            rows, z, rule=self.check_rule, k_rounds=K, interpret=interpret,
+            phi_impl=phi_impl,
         )
 
         def consistent(total, synd):

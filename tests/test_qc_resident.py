@@ -173,3 +173,27 @@ def test_resident_composes_with_frame_shard_dp(qc):
     )
     assert r1.frames == r2.frames
     assert (r1.ber, r1.fer, r1.iters) == (r2.ber, r2.fer, r2.iters)
+
+
+def test_resident_sumproduct_tanhfb_equivalence(qc):
+    """The tanh-F/B sum-product factorization (resident_phi="tanhfb", the
+    bf16 auto default) computes the same box-plus reduction as the phi
+    form — same success/iters on these frames, extrinsic LLRs equal to
+    f32 rounding except where the phi form exceeds tanhfb's ~16.6
+    saturation (both beyond BP decision levels)."""
+    base, _, _ = qc
+    dense = QCDecoder(base, 16, dtype=jnp.bfloat16, use_pallas=False)
+    res = QCDecoder(base, 16, dtype=jnp.bfloat16, resident=True,
+                    resident_chunk=4, resident_phi="tanhfb")
+    llr, synd = _frames(qc, B=8, seed=11)
+    s1, i1, f1 = dense.decode_batch(llr, synd, 25)
+    s2, i2, f2 = res.decode_batch(llr, synd, 25)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    a = np.asarray(f1, np.float32)
+    b = np.asarray(f2, np.float32)
+    sat = 14.0     # compare only below tanhfb's per-message saturation
+    m = (np.abs(a) < sat) & (np.abs(b) < sat)
+    assert m.mean() > 0.5
+    np.testing.assert_allclose(a[m], b[m], rtol=0.05, atol=0.3)
+    assert (np.sign(a) == np.sign(b)).mean() > 0.99
