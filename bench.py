@@ -335,6 +335,43 @@ def main():
                 "frames_per_s": round(r4.frames_per_s, 1),
             }
 
+    # ---- 3b2. dense tanh-F/B sum-product block (QC only, opt-out) ---------
+    # The tanh-F/B factorization also runs in the DENSE path's fused check
+    # phase (check_phi="tanhfb", 0.751 vs 0.935 ms/iter) where early exit
+    # stays iteration-granular — it beats the resident kernel in the
+    # waterfall regime while resident-tanhfb wins below threshold (chunked
+    # exit vs 0.664 ms/iter; see BASELINE.md).  Compile is ~7 s, so the
+    # block is cheap.  BENCH_TANHFB=0 skips.
+    if (os.environ.get("BENCH_TANHFB", "1") == "1" and USE_QC
+            and MODE == "softening" and CHECK_RULE == "sumproduct"):
+        dec4 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                         check_rule="sumproduct", check_phi="tanhfb")
+        eng4 = ReconciliationEngine(dec4, mat, pa, batch=BATCH, dtype=dt,
+                                    llr_mode=LLR_MODE,
+                                    rounds_per_dispatch=RPD)
+        t0 = time.perf_counter()
+        eng4.run_point(MODE, SNR_DB, MAX_ITER, BATCH, 10 ** 9, seed=0, **kw)
+        log(f"dense-tanhfb round warmup: {time.perf_counter() - t0:.1f}s")
+        r6 = eng4.run_point(MODE, SNR_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
+                            10 ** 9, seed=1, **kw)
+        log(f"tpu @ {SNR_DB} dB (dense tanhfb): {r6.frames_per_s:.1f} "
+            f"frames/s (fer={r6.fer:.3f} iters={r6.iters:.1f})")
+        extras["sumproduct_tanhfb_dense"] = {
+            "frames_per_s": round(r6.frames_per_s, 1),
+            "fer": round(r6.fer, 4), "mean_iters": round(r6.iters, 2),
+        }
+        if not SKIP_WATERFALL:
+            r7 = eng4.run_point(MODE, SNR2_DB, MAX_ITER,
+                                TIMED_ROUNDS * BATCH, 10 ** 9, seed=2, **kw)
+            log(f"tpu @ {SNR2_DB} dB (dense tanhfb waterfall): "
+                f"{r7.frames_per_s:.1f} frames/s (ber={r7.ber:.2e} "
+                f"fer={r7.fer:.3f} iters={r7.iters:.1f})")
+            extras["sumproduct_tanhfb_dense"]["waterfall"] = {
+                "snr_dB": SNR2_DB, "ber": float(f"{r7.ber:.3e}"),
+                "fer": round(r7.fer, 4), "mean_iters": round(r7.iters, 2),
+                "frames_per_s": round(r7.frames_per_s, 1),
+            }
+
     # ---- 3c. layered-schedule block (QC only, opt-out) ---------------------
     # The row-layered serial-C schedule is the latency/quality choice:
     # ~half the sweeps to converge at the same FER (see BASELINE.md round-3

@@ -90,7 +90,8 @@ class QCDecoder:
                  layered_chunk: int = 4,
                  resident: bool | None = None,
                  resident_chunk: int = 16,
-                 resident_phi: str = "auto"):
+                 resident_phi: str = "auto",
+                 check_phi: str = "phi"):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
@@ -155,6 +156,16 @@ class QCDecoder:
         if resident_phi not in ("auto", "phi", "tanhfb"):
             raise ValueError(f"unknown resident_phi {resident_phi!r}")
         self.resident_phi = resident_phi
+        # sum-product magnitude implementation in the DENSE path (fused
+        # Pallas check phase + XLA fallback): "phi" (the reference-
+        # comparable form, default — the scalar-oracle bit-exactness tier
+        # holds on it) or "tanhfb" (tanh-F/B factorization — same exact
+        # box-plus reduction at half the transcendental count; extrinsic
+        # saturation ~16.6 vs ~69, f32 rounding differs; opt in for bf16
+        # throughput runs).  Ignored by check_rule="minsum".
+        if check_phi not in ("phi", "tanhfb"):
+            raise ValueError(f"unknown check_phi {check_phi!r}")
+        self.check_phi = check_phi
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -697,6 +708,8 @@ class QCDecoder:
             return jnp.stack(acc)                         # [nb_v, z, B]
 
         rule = self.check_rule
+        if rule == "sumproduct" and self.check_phi == "tanhfb":
+            rule = "tanhfb"
 
         def qc_check_update(v2c, synd, tiny=1e-30):
             """Check update in native [nb_c, dc, z, B] layout (full rows, no
@@ -708,6 +721,7 @@ class QCDecoder:
             """
             from ..ops.boxplus import (
                 MINSUM_ALPHA, minsum_extrinsic_mag, phi_llr,
+                tanhfb_extrinsic_mag,
             )
 
             out_dtype = v2c.dtype
@@ -715,6 +729,8 @@ class QCDecoder:
                 v2c = v2c.astype(jnp.float32)
             if rule == "minsum":
                 mag = MINSUM_ALPHA * minsum_extrinsic_mag(jnp.abs(v2c), 1)
+            elif rule == "tanhfb":
+                mag = tanhfb_extrinsic_mag(jnp.abs(v2c), 1)
             else:
                 phim = phi_llr(jnp.abs(v2c), tiny)
                 s_phi = jnp.sum(phim, axis=1, keepdims=True)

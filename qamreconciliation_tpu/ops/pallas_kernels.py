@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .boxplus import MINSUM_ALPHA, minsum_extrinsic_mag, phi_llr
+from .boxplus import (
+    MINSUM_ALPHA, minsum_extrinsic_mag, phi_llr, tanhfb_extrinsic_mag,
+)
 
 try:  # TPU-only module; tests on CPU use interpret mode
     from jax.experimental.pallas import tpu as pltpu
@@ -98,6 +100,10 @@ def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
         # is VPU-bound here — measured 0.935 vs 0.531 ms/iter per kernel
         # loop at N=64800/B=128, against a 0.424 ms/iter copy floor)
         mag = MINSUM_ALPHA * minsum_extrinsic_mag(jnp.abs(v2c), dc_axis)
+    elif rule == "tanhfb":
+        # exact sum-product, tanh-F/B factorization: half the
+        # transcendentals of the phi form (ops/boxplus.py)
+        mag = tanhfb_extrinsic_mag(jnp.abs(v2c), dc_axis)
     else:
         phim = phi_llr(jnp.abs(v2c), tiny)
         s_phi = jnp.sum(phim, axis=dc_axis, keepdims=True)

@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--schedule", default="flooding",
                     choices=["flooding", "layered"])
     ap.add_argument("--resident", type=int, default=0)
+    ap.add_argument("--phi", default="phi", choices=["phi", "tanhfb"])
     ap.add_argument("--resident-chunk", type=int, default=50)
     args = ap.parse_args()
 
@@ -51,7 +52,8 @@ def main():
         dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas),
                         check_rule=args.check, schedule=args.schedule,
                         resident=bool(args.resident),
-                        resident_chunk=args.resident_chunk)
+                        resident_chunk=args.resident_chunk,
+                        check_phi=args.phi)
     else:
         from qamreconciliation_tpu.models.decoder import Decoder
         from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc
@@ -80,6 +82,7 @@ def main():
         "n": args.n, "batch": args.batch, "qc": args.qc,
         "pallas": args.pallas, "dtype": args.dtype, "check": args.check,
         "schedule": args.schedule, "resident": args.resident,
+        "phi": args.phi,
         "ms_per_iter": round(ms_iter, 3),
         "decode_fps": round(args.batch / (ms_iter * args.maxiter) * 1e3, 1),
         "compile_s": round(compile_s, 1),

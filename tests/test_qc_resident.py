@@ -197,3 +197,24 @@ def test_resident_sumproduct_tanhfb_equivalence(qc):
     assert m.mean() > 0.5
     np.testing.assert_allclose(a[m], b[m], rtol=0.05, atol=0.3)
     assert (np.sign(a) == np.sign(b)).mean() > 0.99
+
+
+def test_dense_sumproduct_tanhfb_equivalence(qc):
+    """check_phi="tanhfb" on the DENSE path (XLA + fused Pallas check
+    phase): same success/iters as the phi form on these frames, LLRs
+    close below the tanhfb saturation."""
+    base, _, _ = qc
+    phi = QCDecoder(base, 16, dtype=jnp.bfloat16, use_pallas=False)
+    for use_pallas in (False, True):
+        fb = QCDecoder(base, 16, dtype=jnp.bfloat16, use_pallas=use_pallas,
+                       check_phi="tanhfb")
+        llr, synd = _frames(qc, B=8, seed=13)
+        s1, i1, f1 = phi.decode_batch(llr, synd, 25)
+        s2, i2, f2 = fb.decode_batch(llr, synd, 25)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        a = np.asarray(f1, np.float32)
+        b = np.asarray(f2, np.float32)
+        m = (np.abs(a) < 14.0) & (np.abs(b) < 14.0)
+        assert m.mean() > 0.5
+        np.testing.assert_allclose(a[m], b[m], rtol=0.05, atol=0.3)
