@@ -54,6 +54,14 @@ def add_engine_args(parser: argparse.ArgumentParser):
         "~0.1 dB waterfall cost)",
     )
     parser.add_argument(
+        "--check-phi", choices=["phi", "tanhfb"], default="phi",
+        help="Sum-product magnitude implementation (QC decoders): 'phi' "
+        "(the reference-comparable sign/phi form, default) or 'tanhfb' "
+        "(tanh forward/backward products — the same exact box-plus "
+        "reduction at half the transcendental count, ~1.25x faster "
+        "decode at DVB-S2 scale; extrinsic saturation ~16.6 vs ~69)",
+    )
+    parser.add_argument(
         "--rounds-per-dispatch", type=int, default=1,
         help="Run this many frame batches per device dispatch (lax.scan on "
         "device, counters summed on-chip).  Amortizes the fixed per-"
@@ -144,7 +152,8 @@ def load_decoder(args):
     schedule = getattr(args, "schedule", "flooding")
     chunk = getattr(args, "layered_chunk", 4)
     resident = getattr(args, "resident", False)
-    resident_chunk = getattr(args, "resident_chunk", 8)
+    resident_chunk = getattr(args, "resident_chunk", 16)
+    check_phi = getattr(args, "check_phi", "phi")
     if getattr(args, "qc", False):
         from ..models.qc_decoder import QCDecoder, load_qc_csv
 
@@ -152,7 +161,8 @@ def load_decoder(args):
         dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
                         check_rule=args.check_rule, schedule=schedule,
                         layered_chunk=chunk, resident=resident,
-                        resident_chunk=resident_chunk)
+                        resident_chunk=resident_chunk,
+                        check_phi=check_phi)
         return dec, dec.graph.e_to_v, dec.graph.e_to_c
     from ..models.decoder import Decoder
     from ..utils.edgefile import load_edge_csv
@@ -172,7 +182,8 @@ def load_decoder(args):
                                 check_rule=args.check_rule,
                                 schedule=schedule, layered_chunk=chunk,
                                 resident=resident,
-                                resident_chunk=resident_chunk)
+                                resident_chunk=resident_chunk,
+                                check_phi=check_phi)
                 print(f"[lift-qc] detected z={z} circulant lifting "
                       f"({len(base_edges)} base edges)")
                 return dec, vid, cid
@@ -186,6 +197,11 @@ def load_decoder(args):
 
             warnings.warn("--lift-qc: no circulant structure detected; "
                           "using the generic decoder")
+    if check_phi != "phi":
+        raise SystemExit(
+            "--check-phi tanhfb requires a quasi-cyclic decoder (--qc or "
+            "a successful --lift-qc)"
+        )
     if resident:
         raise SystemExit(
             "--resident requires a quasi-cyclic decoder (--qc or a "
