@@ -139,9 +139,13 @@ def main():
             resident_vmem_bytes,
         )
 
+        # auto-resident needs realistic scale: tiny decodes gain nothing
+        # from VMEM residency and exercise untested Mosaic corner shapes
+        # (the z=32/B=8 smoke crashed the compiler)
         resident_fits = (
             SCHEDULE == "flooding"
             and jax.default_backend() == "tpu"
+            and z >= 256 and BATCH >= 32
             and resident_vmem_bytes(36, 18, 6, z, BATCH, dt)
             + 28 * 2 ** 20 <= 128 * 2 ** 20
         )
