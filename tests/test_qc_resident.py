@@ -218,3 +218,23 @@ def test_dense_sumproduct_tanhfb_equivalence(qc):
         m = (np.abs(a) < 14.0) & (np.abs(b) < 14.0)
         assert m.mean() > 0.5
         np.testing.assert_allclose(a[m], b[m], rtol=0.05, atol=0.3)
+
+
+def test_resident_cli_plumbing(tmp_path, qc):
+    """--resident / --check-phi reach the decoder through every
+    load_decoder CLI; a tiny BSC sweep runs end-to-end (interpret mode)."""
+    from qamreconciliation_tpu.models.qc_decoder import save_qc_csv
+    from qamreconciliation_tpu.sims import sim_bsc
+
+    base, _, _ = qc
+    code = tmp_path / "qc.csv"
+    out = tmp_path / "out.csv"
+    save_qc_csv(str(code), base, 16)
+    sim_bsc.main([str(code), "--qc", "--resident", "--resident-chunk", "4",
+                  "--out", str(out), "--rber", "0.02", "0.02",
+                  "--rpoints", "1", "--simloops", "16", "--batch", "16",
+                  "--maxiter", "8", "--minerr", "1000000"])
+    import pandas as pd
+
+    df = pd.read_csv(str(out))
+    assert list(df.columns[1:]) == ["f", "ber", "fer", "iters"]
