@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..config import DEFAULT_DTYPE, INDEX_DTYPE
 from ..ops.boxplus import (
-    box_plus, check_node_minsum_sm, check_node_update_sm,
+    box_plus, check_node_minsum_sm, check_node_tanhfb_sm,
+    check_node_update_sm,
 )
 
 __all__ = ["TannerGraph", "Decoder"]
@@ -206,7 +207,8 @@ class Decoder:
 
     def __init__(self, e_to_v, e_to_c, dtype=DEFAULT_DTYPE,
                  use_pallas: bool | None = None,
-                 check_rule: str = "sumproduct"):
+                 check_rule: str = "sumproduct",
+                 check_phi: str = "phi"):
         self.graph = TannerGraph(e_to_v, e_to_c)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_generic)
@@ -224,6 +226,13 @@ class Decoder:
         if check_rule not in ("sumproduct", "minsum"):
             raise ValueError(f"unknown check_rule {check_rule!r}")
         self.check_rule = check_rule
+        # sum-product magnitude implementation: "phi" (reference-
+        # comparable, default) or "tanhfb" (tanh-F/B products — same
+        # exact box-plus reduction at half the transcendental count;
+        # saturation ~16.6 vs ~69; see ops/boxplus.py)
+        if check_phi not in ("phi", "tanhfb"):
+            raise ValueError(f"unknown check_phi {check_phi!r}")
+        self.check_phi = check_phi
         self._decode_jit = None
 
     # Properties: reference qamreconciliation/decoder.pyx:157-172
@@ -250,6 +259,8 @@ class Decoder:
             use_pallas = False
         interpret = jax.default_backend() != "tpu"
         rule = self.check_rule
+        if rule == "sumproduct" and self.check_phi == "tanhfb":
+            rule = "tanhfb"
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success [B], iters [B], final [V, B]).
@@ -295,8 +306,9 @@ class Decoder:
                     )
                     return jnp.sum(viol, axis=0) == 0, c2v_new
                 conv = consistent_from_gather(t_d)
-                update = (check_node_minsum_sm if rule == "minsum"
-                          else check_node_update_sm)
+                update = {"minsum": check_node_minsum_sm,
+                          "tanhfb": check_node_tanhfb_sm}.get(
+                    rule, check_node_update_sm)
                 c2v_new = update(t_d - c2v_d, synd_cb, c_mask_T)
                 return conv, c2v_new
 

@@ -29,6 +29,7 @@ __all__ = [
     "tanhfb_extrinsic_mag",
     "check_node_minsum",
     "check_node_minsum_sm",
+    "check_node_tanhfb_sm",
     "var_node_update",
     "MINSUM_ALPHA",
 ]
@@ -198,6 +199,34 @@ def check_node_minsum_sm(v2c_d, synd, c_mask_T, alpha: float = MINSUM_ALPHA):
     big = jnp.asarray(1e30, v2c_d.dtype)
     absm = jnp.where(mask > 0, jnp.abs(v2c_d), big)
     mag = alpha * minsum_extrinsic_mag(absm, axis=0)
+
+    neg = jnp.logical_and(v2c_d < 0, mask > 0)
+    parity = jnp.sum(neg.astype(jnp.int32), axis=0, keepdims=True) & 1
+    sign = (1 - 2 * jnp.bitwise_xor(parity, neg.astype(jnp.int32))).astype(
+        v2c_d.dtype
+    )
+    pref = (1 - 2 * synd.astype(jnp.int32)).astype(v2c_d.dtype)[None, :, :]
+    return (sign * pref * mag * mask).astype(out_dtype)
+
+
+def check_node_tanhfb_sm(v2c_d, synd, c_mask_T):
+    """Slot-major sum-product check update via tanh-F/B products.
+
+    Same contract as :func:`check_node_update_sm`; the magnitude comes
+    from :func:`tanhfb_extrinsic_mag` (padded slots ride the large
+    sentinel so tanh -> 1 is the exact neutral element).  The same exact
+    box-plus reduction as the phi form at half the transcendental count;
+    f32 rounding differs and magnitudes saturate at ~16.6 (see
+    tanhfb_extrinsic_mag).
+    """
+    out_dtype = v2c_d.dtype
+    if out_dtype == jnp.bfloat16:
+        v2c_d = v2c_d.astype(jnp.float32)
+        c_mask_T = c_mask_T.astype(jnp.float32)
+    mask = c_mask_T[:, :, None]
+    big = jnp.asarray(1e30, v2c_d.dtype)
+    absm = jnp.where(mask > 0, jnp.abs(v2c_d), big)
+    mag = tanhfb_extrinsic_mag(absm, 0)
 
     neg = jnp.logical_and(v2c_d < 0, mask > 0)
     parity = jnp.sum(neg.astype(jnp.int32), axis=0, keepdims=True) & 1

@@ -273,6 +273,11 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
                 mask > 0, jnp.abs(v2c), jnp.asarray(1e30, compute)
             )
             mag = MINSUM_ALPHA * minsum_extrinsic_mag(absm, 0)
+        elif rule == "tanhfb":
+            absm = jnp.where(
+                mask > 0, jnp.abs(v2c), jnp.asarray(1e30, compute)
+            )
+            mag = tanhfb_extrinsic_mag(absm, 0)
         else:
             phim = phi_llr(jnp.abs(v2c), tiny) * mask
             s_phi = jnp.sum(phim, axis=0, keepdims=True)

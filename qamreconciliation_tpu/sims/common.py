@@ -197,11 +197,6 @@ def load_decoder(args):
 
             warnings.warn("--lift-qc: no circulant structure detected; "
                           "using the generic decoder")
-    if check_phi != "phi":
-        raise SystemExit(
-            "--check-phi tanhfb requires a quasi-cyclic decoder (--qc or "
-            "a successful --lift-qc)"
-        )
     if resident:
         raise SystemExit(
             "--resident requires a quasi-cyclic decoder (--qc or a "
@@ -215,5 +210,5 @@ def load_decoder(args):
             "is flooding-only"
         )
     dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
-                  check_rule=args.check_rule)
+                  check_rule=args.check_rule, check_phi=check_phi)
     return dec, vid, cid

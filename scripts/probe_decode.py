@@ -60,7 +60,7 @@ def main():
 
         vid, cid = make_regular_ldpc(args.n, dv=3, dc=6, seed=12345)
         dec = Decoder(vid, cid, dtype=dt, use_pallas=bool(args.pallas),
-                      check_rule=args.check)
+                      check_rule=args.check, check_phi=args.phi)
 
     rng = np.random.default_rng(0)
     lappr = jnp.asarray(rng.normal(0, 3.0, (args.n, args.batch)), dt)

@@ -238,3 +238,32 @@ def test_resident_cli_plumbing(tmp_path, qc):
 
     df = pd.read_csv(str(out))
     assert list(df.columns[1:]) == ["f", "ber", "fer", "iters"]
+
+
+def test_generic_decoder_tanhfb_equivalence():
+    """check_phi="tanhfb" on the GENERIC gather decoder (XLA + fused
+    Pallas check phase, padded slots riding the large sentinel): same
+    success/iters as the phi form, LLRs close below saturation."""
+    from qamreconciliation_tpu.models.decoder import Decoder
+    from qamreconciliation_tpu.utils.edgefile import make_regular_ldpc
+
+    vid, cid = make_regular_ldpc(192, dv=3, dc=6, seed=9)
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(21)
+    word = rng.integers(0, 2, (8, 192))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 2.0, (8, 192))
+
+    phi = Decoder(vid, cid, dtype=jnp.bfloat16, use_pallas=False)
+    for use_pallas in (False, True):
+        fb = Decoder(vid, cid, dtype=jnp.bfloat16, use_pallas=use_pallas,
+                     check_phi="tanhfb")
+        s1, i1, f1 = phi.decode_batch(llr, synd, 25)
+        s2, i2, f2 = fb.decode_batch(llr, synd, 25)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        a = np.asarray(f1, np.float32)
+        b = np.asarray(f2, np.float32)
+        m = (np.abs(a) < 14.0) & (np.abs(b) < 14.0)
+        assert m.mean() > 0.5
+        np.testing.assert_allclose(a[m], b[m], rtol=0.05, atol=0.3)
