@@ -205,6 +205,10 @@ def main():
             extras["resident"] = False
             dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
                             check_rule=CHECK_RULE, schedule=SCHEDULE)
+            # the engine captured the failed decoder: rebuild it too
+            eng = ReconciliationEngine(dec, mat, pa, batch=BATCH, dtype=dt,
+                                       llr_mode=LLR_MODE,
+                                       rounds_per_dispatch=RPD)
             f = dec._build_decode()
             dec._decode_jit = f
             t0 = time.perf_counter()

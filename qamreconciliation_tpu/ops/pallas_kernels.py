@@ -402,7 +402,13 @@ def _pick_zchunk(z: int, B: int = 128, dc: int = 6) -> int | None:
     b_pad = -(-B // 128) * 128
     cap = (32 * 2**20) // (12 * dc * b_pad * 4)
     cands = [d for d in range(1, min(z, cap) + 1) if z % d == 0]
-    return max(cands) if cands else None
+    best = max(cands) if cands else None
+    # a sliver chunk (e.g. ZC=1 for prime z) would unroll z blocks and
+    # feed the register-spill OOM regime — reject instead of compiling
+    # a bomb; the caller falls back to the dense path
+    if best is not None and best < 32 and z > cap:
+        return None
+    return best
 
 
 def resident_vmem_bytes(nb_v: int, nb_c: int, dc: int, z: int, B: int,

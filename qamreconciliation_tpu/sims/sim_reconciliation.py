@@ -92,6 +92,10 @@ def main(argv=None):
         )
     if args.graph_shard and args.schedule != "flooding":
         raise SystemExit("--graph-shard supports only --schedule flooding")
+    if args.graph_shard and getattr(args, "check_phi", "phi") != "phi":
+        raise SystemExit("--graph-shard supports only --check-phi phi")
+    if args.graph_shard and getattr(args, "resident", False):
+        raise SystemExit("--graph-shard is incompatible with --resident")
     if getattr(args, "resident", False) and args.point_batch:
         raise SystemExit(
             "--resident is incompatible with --point-batch (the SNR-point "
