@@ -157,7 +157,7 @@ def mutual_information_X_Y(nm: NoiseMapper) -> float:
 
 def _mc_info_impl(key, pa, nm, p_Xhat_dev, N, which, ginv_mode="interp"):
     """MC estimator core (unjitted; see ``_mc_info`` and
-    ``_mc_info_batched``); nm rides in as a pytree argument, so one compile
+    ``montecarlo_information_batched``); nm rides in as a pytree argument, so one compile
     serves every SNR point of a sweep (the alphabet is static via its hash —
     identity-based, alphabets are built once per sweep).
 
@@ -229,20 +229,6 @@ _mc_info = functools.partial(
     jax.jit, static_argnames=("pa", "N", "which", "ginv_mode")
 )(_mc_info_impl)
 
-
-@functools.partial(jax.jit, static_argnames=("pa", "N", "which"))
-def _mc_info_batched(keys, pa, nm_stack, p_Xhat_stack, N, which):
-    """vmap of the MC core over a leading batch axis of stacked NoiseMapper
-    pytrees (the sign-configuration study's axis: ``sign_config`` is a
-    device leaf, so P mappers at one SNR stack into one pytree and all P
-    configs advance per dispatch — one compile for the whole enumeration,
-    replacing the reference's per-config sequential loop,
-    reference: sims/sim_mutual_information_compare_signs.py:67-95)."""
-    return jax.vmap(
-        lambda k, nm, p: _mc_info_impl(k, pa, nm, p, N, which)
-    )(keys, nm_stack, p_Xhat_stack)
-
-
 _MC_BATCH_CACHE: dict = {}
 
 
@@ -270,6 +256,17 @@ def montecarlo_information_batched(keys, pa, nms, p_Xhats, N, which,
     """
     flats = [jax.tree_util.tree_flatten(nm) for nm in nms]
     leaves0, treedef = flats[0]
+    # every mapper is rebuilt with flats[0]'s treedef (static config rides
+    # in the aux data), so a structure mismatch must fail LOUDLY here —
+    # positional leaf alignment would otherwise silently decode mapper
+    # k>0 with mapper 0's thresholds/static tables
+    for k, (_, td) in enumerate(flats[1:], 1):
+        if td != treedef:
+            raise ValueError(
+                f"montecarlo_information_batched: NoiseMapper {k}'s pytree "
+                f"structure differs from mapper 0's (different alphabet / "
+                f"dtype / static config?); batch only same-config mappers"
+            )
     nleaf = len(leaves0)
     shared_mask = tuple(
         len(nms) > 1 and all(f[0][i] is leaves0[i] for f in flats)

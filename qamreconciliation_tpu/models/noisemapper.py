@@ -30,6 +30,13 @@ Deliberate deviations from reference quirks (SURVEY.md §2 "quirks"):
     ``y_hat[i] = g_inv(n, j)`` (index j for all i, reference:
     noisemapper.pyx:655).  We default to ``g_inv(n, i)``; ``ref_compat=True``
     reproduces the reference.
+(d) The MC mutual-information CLIs default their candidate-inverse
+    reconstruction to ``g_inv_poly`` (the gather-free global-Chebyshev
+    inverse CDF, ~3x faster on TPU) instead of the reference's grid
+    interpolation (reference: noisemapper.pyx:295-307): the fit residual
+    shifts I(X,N;Xhat) by ~3e-4 relative — an order below the estimators'
+    own MC standard error at the default sample budgets.  ``--mc-ginv
+    interp`` restores the reference-mirroring path exactly.
 """
 
 from __future__ import annotations

@@ -264,7 +264,14 @@ class QCDecoder:
         interpret = jax.default_backend() != "tpu"
         phi_impl = self.resident_phi
         if phi_impl == "auto":
-            phi_impl = "tanhfb" if dtype == jnp.bfloat16 else "phi"
+            # honor an explicit dense-path choice (check_phi="tanhfb")
+            # and default bf16 storage onto the tanh-F/B form, whose
+            # f32-rounding differences the 8-bit mantissa dwarfs
+            phi_impl = (
+                "tanhfb"
+                if self.check_phi == "tanhfb" or dtype == jnp.bfloat16
+                else "phi"
+            )
         step = bp_decode_rounds_qc(
             rows, z, rule=self.check_rule, k_rounds=K, interpret=interpret,
             phi_impl=phi_impl,
@@ -553,7 +560,9 @@ class QCDecoder:
         ``total == prior + sum(stored c2v)`` holds to f32 addition rounding
         across arbitrarily many sweeps — no bf16 accumulation drift.
         """
-        from ..ops.boxplus import check_node_minsum_sm, check_node_update_sm
+        from ..ops.boxplus import (
+            check_node_minsum_sm, check_node_tanhfb_sm, check_node_update_sm,
+        )
 
         z, dc = self.z, self.dc
         nb_c, nb_v = self.nb_c, self.nb_v
@@ -565,6 +574,8 @@ class QCDecoder:
         acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
         ones_mask = np.ones((dc, z), np.float32)
 
+        phi_impl = self.check_phi
+
         def layer_update(v2c, synd_cb):
             """v2c [dc, z, B] -> new c2v [dc, z, B] (acc_dtype in/out).
 
@@ -574,6 +585,8 @@ class QCDecoder:
             """
             if rule == "minsum":
                 return check_node_minsum_sm(v2c, synd_cb, ones_mask)
+            if phi_impl == "tanhfb":
+                return check_node_tanhfb_sm(v2c, synd_cb, ones_mask)
             return check_node_update_sm(v2c, synd_cb, ones_mask)
 
         def decode_batched(prior_vb, synd_cb, max_iterations):

@@ -273,6 +273,11 @@ def tanhfb_extrinsic_mag(absm, axis: int):
     """
     x = jnp.moveaxis(absm, axis, 0)
     dc = x.shape[0]
+    if dc == 1:
+        # empty all-but-one product: the neutral element u = 1, i.e. the
+        # saturated magnitude — matching the phi form's phi(0) clamp
+        sat = jnp.log1p(1.0 - 6e-8) - jnp.log1p(-(1.0 - 6e-8))
+        return jnp.moveaxis(jnp.full_like(x, sat), 0, axis)
     e = jnp.exp(-x)
     r = (1.0 - e) / (1.0 + e)                    # tanh(x/2), in (0, 1]
     rd = [r[d] for d in range(dc)]

@@ -544,37 +544,12 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                             )
                         elif phi_impl == "tanhfb":
                             # exact sum-product via the tanh forward/
-                            # backward product factorization — the same
-                            # box-plus reduction as the phi form (and the
-                            # formulation the reference validates its own
-                            # check update against, test_decoder.py:
-                            # 189-220), at HALF the transcendental count:
-                            # 1 exp + 2 log1p per edge vs two full phi
-                            # evaluations.  u = prod_{j!=i} tanh(x_j/2),
-                            # mag = 2 artanh(u) = log1p(u) - log1p(-u).
-                            # f32 rounding differs from the phi form and
-                            # the extrinsic magnitude saturates at
-                            # ~ -log(ulp)/1 ~= 16.6 instead of phi(tiny)
-                            # ~= 69 — both far beyond BP decision levels
-                            # (BER equivalence tested).
-                            e = jnp.exp(-jnp.abs(v2c))
-                            r = (1.0 - e) / (1.0 + e)      # tanh(|x|/2)
-                            rd = [r[d] for d in range(dc)]
-                            F = [rd[0]]
-                            for d in range(1, dc):
-                                F.append(F[-1] * rd[d])
-                            Bk = [rd[dc - 1]]
-                            for d in range(dc - 2, -1, -1):
-                                Bk.append(Bk[-1] * rd[d])
-                            Bk = Bk[::-1]
-                            u = jnp.stack(
-                                [Bk[1]] + [
-                                    F[d - 1] * Bk[d + 1]
-                                    for d in range(1, dc - 1)
-                                ] + [F[dc - 2]]
-                            )
-                            u = jnp.clip(u, 0.0, 1.0 - 6e-8)
-                            mag = jnp.log1p(u) - jnp.log1p(-u)
+                            # backward product factorization at HALF the
+                            # transcendental count (shared source of
+                            # truth: ops/boxplus.tanhfb_extrinsic_mag —
+                            # lowers fine inside the kernel, like
+                            # minsum_extrinsic_mag/phi_llr above)
+                            mag = tanhfb_extrinsic_mag(jnp.abs(v2c), 0)
                         else:
                             phim = phi_llr(jnp.abs(v2c), tiny)
                             s_phi = jnp.sum(phim, axis=0, keepdims=True)

@@ -108,6 +108,10 @@ class StreamReconciler:
         self._aq_nhat = np.empty((0, self.N_symb), np.float64)
         self._aq_synd = np.empty((0, mat.cnum), np.uint8)
         self._aq_words = None  # lazily [Q, N] when bob_words accounting is on
+        # accounting mode latches on the FIRST deferred enqueue: rows
+        # queued without words cannot be retro-aligned to words that
+        # arrive later (the queue front would desync from _aq_words)
+        self._aq_words_mode = None
         self.decode_dispatches = 0  # device decode calls (waste accounting)
         if llr_mode == "table":
             # build before any jit flattens the mapper: the lazy LLR table
@@ -227,16 +231,22 @@ class StreamReconciler:
                 self._aq_synd = np.concatenate(
                     [self._aq_synd, np.asarray(synd, np.uint8)], axis=0
                 )
-                if bob_words is not None:
+                has_words = bob_words is not None
+                if self._aq_words_mode is None:
+                    self._aq_words_mode = has_words
+                elif self._aq_words_mode != has_words:
+                    # both directions are desyncs: starting accounting
+                    # mid-stream would align later words to earlier queue
+                    # rows, stopping it would starve the aligned front
+                    raise ValueError(
+                        "bob_words accounting must be passed on every "
+                        "deferred alice_process call or never"
+                    )
+                if has_words:
                     bw = np.asarray(bob_words, np.uint8)
                     self._aq_words = (
                         bw if self._aq_words is None
                         else np.concatenate([self._aq_words, bw], axis=0)
-                    )
-                elif self._aq_words is not None:
-                    raise ValueError(
-                        "bob_words accounting must be passed on every "
-                        "deferred alice_process call or never"
                     )
             avail = min(self._aq_x.shape[0], self._aq_nhat.shape[0],
                         self._aq_synd.shape[0])

@@ -193,3 +193,26 @@ def test_stream_with_qc_decoder():
     assert w.shape[0] == 5
     res = StreamReconciler.alice_process(sr, nh, x, synd, max_iterations=30)
     assert sum(res.success) > len(res.success) // 2
+
+
+def test_defer_rejects_mid_stream_accounting_start(chain):
+    """Starting bob_words accounting AFTER rows were queued without it
+    would silently misalign the words queue with the frame-queue front;
+    both directions must raise."""
+    dec, mat, pa, nm, sigma = chain
+    sr = StreamReconciler(dec, mat, pa, nm, batch=2, defer=True)
+    rng = np.random.default_rng(3)
+    S = sr.N_symb
+    x = rng.integers(0, pa.order, 2 * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+    words, synd, nhat = sr.bob_process(y)
+    assert words.shape[0] == 2
+    # queue 2 frames WITHOUT accounting ...
+    sr.alice_process(nhat, x, synd, max_iterations=4)
+    # ... then try to start it: must fail loudly
+    x2 = rng.integers(0, pa.order, 2 * S)
+    y2 = pa.constellation[x2] + sigma * rng.standard_normal(x2.size)
+    words2, synd2, nhat2 = sr.bob_process(y2)
+    with pytest.raises(ValueError):
+        sr.alice_process(nhat2, x2, synd2, max_iterations=4,
+                         bob_words=words2)
