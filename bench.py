@@ -44,7 +44,10 @@ BENCH_CHECK2 (secondary rule measured alongside the headline; default
 minsum, "none" to skip), BENCH_SCHEDULE (flooding [default, reference
 schedule] or layered [QC-only row-layered serial-C sweeps, ~2x fewer
 iterations to converge]), BENCH_SCHED2 (secondary schedule measured at
-the waterfall point with min-sum; default layered, "none" to skip).
+the waterfall point with min-sum; default layered, "none" to skip),
+BENCH_RESIDENT (VMEM-resident decode kernel: auto [on for QC sum-product
+flooding at realistic scale], 1 force, 0 off), BENCH_TANHFB=0 (skip the
+dense tanh-F/B sum-product block).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """

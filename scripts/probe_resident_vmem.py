@@ -1,5 +1,12 @@
 """Bisect the VMEM spill source in the resident QC decode kernel.
 
+HISTORICAL bisect harness: the variants here capture the kernel as it
+was during the round-3 spill hunt (value-chain viol, pl.when capture,
+fori trip counts).  The production kernel in ops/pallas_kernels.py has
+since diverged (per-block viol slots, unconditional capture blend,
+while_loop).  Kept because the measured variant matrix documents WHICH
+constructs triggered the Mosaic register-spill OOMs.
+
 Variants (cumulative structure, mirrors ops/pallas_kernels.bp_decode_rounds_qc):
   nobook     pass1 updates + pass2 only (no viol, no bookkeeping, no capture)
   violonly   + viol_s accumulation (nothing consumes it)
