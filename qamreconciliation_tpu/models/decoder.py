@@ -208,7 +208,9 @@ class Decoder:
     def __init__(self, e_to_v, e_to_c, dtype=DEFAULT_DTYPE,
                  use_pallas: bool | None = None,
                  check_rule: str = "sumproduct",
-                 check_phi: str = "phi"):
+                 check_phi: str = "phi",
+                 minsum_alpha: float | None = None,
+                 minsum_beta: float = 0.0):
         self.graph = TannerGraph(e_to_v, e_to_c)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_generic)
@@ -233,6 +235,16 @@ class Decoder:
         if check_phi not in ("phi", "tanhfb"):
             raise ValueError(f"unknown check_phi {check_phi!r}")
         self.check_phi = check_phi
+        # min-sum magnitude correction (see ops/boxplus.minsum_mag):
+        # mag = max(alpha*min - beta, 0); normalized default, offset opt-in
+        from ..ops.boxplus import MINSUM_ALPHA as _MSA
+
+        self.minsum_alpha = float(
+            _MSA if minsum_alpha is None else minsum_alpha
+        )
+        self.minsum_beta = float(minsum_beta)
+        if self.minsum_beta < 0:
+            raise ValueError("minsum_beta must be >= 0")
         self._decode_jit = None
 
     # Properties: reference qamreconciliation/decoder.pyx:157-172
@@ -302,14 +314,20 @@ class Decoder:
 
                     c2v_new, viol = bp_check_phase_generic(
                         t_d, c2v_d, synd_cb, c_mask_T, interpret=interpret,
-                        rule=rule,
+                        rule=rule, ms_alpha=self.minsum_alpha,
+                        ms_beta=self.minsum_beta,
                     )
                     return jnp.sum(viol, axis=0) == 0, c2v_new
                 conv = consistent_from_gather(t_d)
-                update = {"minsum": check_node_minsum_sm,
-                          "tanhfb": check_node_tanhfb_sm}.get(
-                    rule, check_node_update_sm)
-                c2v_new = update(t_d - c2v_d, synd_cb, c_mask_T)
+                if rule == "minsum":
+                    c2v_new = check_node_minsum_sm(
+                        t_d - c2v_d, synd_cb, c_mask_T,
+                        alpha=self.minsum_alpha, beta=self.minsum_beta,
+                    )
+                else:
+                    update = ({"tanhfb": check_node_tanhfb_sm}
+                              .get(rule, check_node_update_sm))
+                    c2v_new = update(t_d - c2v_d, synd_cb, c_mask_T)
                 return conv, c2v_new
 
             def cond(state):

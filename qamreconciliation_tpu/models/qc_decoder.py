@@ -91,7 +91,9 @@ class QCDecoder:
                  resident: bool | None = None,
                  resident_chunk: int = 16,
                  resident_phi: str = "auto",
-                 check_phi: str = "phi"):
+                 check_phi: str = "phi",
+                 minsum_alpha: float | None = None,
+                 minsum_beta: float = 0.0):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
@@ -166,6 +168,18 @@ class QCDecoder:
         if check_phi not in ("phi", "tanhfb"):
             raise ValueError(f"unknown check_phi {check_phi!r}")
         self.check_phi = check_phi
+        # min-sum magnitude correction mag = max(alpha*min - beta, 0):
+        # alpha=13/16, beta=0 is the normalized default; alpha=1 with
+        # beta>0 is classic OFFSET min-sum (ops/boxplus.minsum_mag —
+        # both standard corrections of min-sum's over-estimate)
+        from ..ops.boxplus import MINSUM_ALPHA as _MSA
+
+        self.minsum_alpha = float(
+            _MSA if minsum_alpha is None else minsum_alpha
+        )
+        self.minsum_beta = float(minsum_beta)
+        if self.minsum_beta < 0:
+            raise ValueError("minsum_beta must be >= 0")
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -274,7 +288,8 @@ class QCDecoder:
             )
         step = bp_decode_rounds_qc(
             rows, z, rule=self.check_rule, k_rounds=K, interpret=interpret,
-            phi_impl=phi_impl,
+            phi_impl=phi_impl, ms_alpha=self.minsum_alpha,
+            ms_beta=self.minsum_beta,
         )
 
         def consistent(total, synd):
@@ -361,13 +376,13 @@ class QCDecoder:
         min-sum itself is the opt-in TPU extension documented in
         ops/boxplus.py:check_node_minsum_sm.
         """
-        from ..ops.boxplus import MINSUM_ALPHA
+        from ..ops.boxplus import minsum_mag
 
         z, dc = self.z, self.dc
         nb_c, nb_v = self.nb_c, self.nb_v
         rows = self._rows
         dtype = self.dtype
-        alpha = MINSUM_ALPHA
+        alpha, beta = self.minsum_alpha, self.minsum_beta
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
@@ -429,8 +444,8 @@ class QCDecoder:
                     par = negs[0]
                     for n in negs[1:]:
                         par = par ^ n
-                    m1_cb = (alpha * min1).astype(dtype)
-                    m2_cb = (alpha * min2).astype(dtype)
+                    m1_cb = minsum_mag(min1, alpha, beta).astype(dtype)
+                    m2_cb = minsum_mag(min2, alpha, beta).astype(dtype)
                     meta_new = idx_new
                     m1_f32 = m1_cb.astype(jnp.float32)
                     m2_f32 = m2_cb.astype(jnp.float32)
@@ -584,7 +599,10 @@ class QCDecoder:
             C = z (full rows, no padding).
             """
             if rule == "minsum":
-                return check_node_minsum_sm(v2c, synd_cb, ones_mask)
+                return check_node_minsum_sm(
+                    v2c, synd_cb, ones_mask,
+                    alpha=self.minsum_alpha, beta=self.minsum_beta,
+                )
             if phi_impl == "tanhfb":
                 return check_node_tanhfb_sm(v2c, synd_cb, ones_mask)
             return check_node_update_sm(v2c, synd_cb, ones_mask)
@@ -733,7 +751,7 @@ class QCDecoder:
             ops/boxplus.py) and stored back at half width.
             """
             from ..ops.boxplus import (
-                MINSUM_ALPHA, minsum_extrinsic_mag, phi_llr,
+                minsum_extrinsic_mag, minsum_mag, phi_llr,
                 tanhfb_extrinsic_mag,
             )
 
@@ -741,7 +759,8 @@ class QCDecoder:
             if out_dtype == jnp.bfloat16:
                 v2c = v2c.astype(jnp.float32)
             if rule == "minsum":
-                mag = MINSUM_ALPHA * minsum_extrinsic_mag(jnp.abs(v2c), 1)
+                mag = minsum_mag(minsum_extrinsic_mag(jnp.abs(v2c), 1),
+                                 self.minsum_alpha, self.minsum_beta)
             elif rule == "tanhfb":
                 mag = tanhfb_extrinsic_mag(jnp.abs(v2c), 1)
             else:
@@ -784,7 +803,9 @@ class QCDecoder:
                     # fall back to the XLA check phase for those shapes.
                     if _pick_zb(z, B=B, dc=dc) is not None:
                         c2v_new, viol = bp_check_phase_qc(
-                            t, c2v, synd, interpret=interpret, rule=rule
+                            t, c2v, synd, interpret=interpret, rule=rule,
+                            ms_alpha=self.minsum_alpha,
+                            ms_beta=self.minsum_beta,
                         )
                         return jnp.sum(viol, axis=(0, 1)) == 0, c2v_new
                     if self.use_pallas:  # explicitly requested: say why not

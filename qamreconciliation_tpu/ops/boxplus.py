@@ -32,11 +32,27 @@ __all__ = [
     "check_node_tanhfb_sm",
     "var_node_update",
     "MINSUM_ALPHA",
+    "minsum_mag",
 ]
 
 # Normalized min-sum scale (13/16) — the standard hardware-decoder choice;
 # exactly representable in bfloat16/float32.
 MINSUM_ALPHA = 0.8125
+
+
+def minsum_mag(m, alpha: float, beta: float):
+    """Normalized/offset min-sum magnitude: ``max(alpha*m - beta, 0)``.
+
+    alpha=13/16, beta=0 is the repo's normalized default; alpha=1 with
+    beta>0 is classic offset min-sum (both standard hardware-decoder
+    corrections of min-sum's magnitude over-estimate; the offset form is
+    the basis of the neural-OMS line of work).  beta=0 lowers to a bare
+    multiply, so the default costs nothing extra.
+    """
+    scaled = alpha * m
+    if beta:
+        return jnp.maximum(scaled - beta, 0.0)
+    return scaled
 
 
 def box_plus(a, b):
@@ -157,7 +173,8 @@ def minsum_extrinsic_mag(absm, axis: int):
     return jnp.where(jnp.logical_and(is_min, cnt == 1), min2, min1)
 
 
-def check_node_minsum(v2c_c, synd, c_mask, alpha: float = MINSUM_ALPHA):
+def check_node_minsum(v2c_c, synd, c_mask, alpha: float = MINSUM_ALPHA,
+                      beta: float = 0.0):
     """Check-major NORMALIZED MIN-SUM update: layout [C, dc_max, B].
 
     Same contract as :func:`check_node_update` with the min-sum magnitude
@@ -169,7 +186,7 @@ def check_node_minsum(v2c_c, synd, c_mask, alpha: float = MINSUM_ALPHA):
     mask = c_mask[:, :, None]
     big = jnp.asarray(1e30, v2c_c.dtype)
     absm = jnp.where(mask > 0, jnp.abs(v2c_c), big)
-    mag = alpha * minsum_extrinsic_mag(absm, axis=1)
+    mag = minsum_mag(minsum_extrinsic_mag(absm, axis=1), alpha, beta)
 
     neg = jnp.logical_and(v2c_c < 0, mask > 0)
     parity = jnp.sum(neg.astype(jnp.int32), axis=1, keepdims=True) & 1
@@ -180,7 +197,8 @@ def check_node_minsum(v2c_c, synd, c_mask, alpha: float = MINSUM_ALPHA):
     return (sign * pref * mag * mask).astype(out_dtype)
 
 
-def check_node_minsum_sm(v2c_d, synd, c_mask_T, alpha: float = MINSUM_ALPHA):
+def check_node_minsum_sm(v2c_d, synd, c_mask_T,
+                         alpha: float = MINSUM_ALPHA, beta: float = 0.0):
     """Slot-major NORMALIZED MIN-SUM check update: layout [dc_max, C, B].
 
     TPU extension (opt-in via ``Decoder(check_rule="minsum")``): the
@@ -198,7 +216,7 @@ def check_node_minsum_sm(v2c_d, synd, c_mask_T, alpha: float = MINSUM_ALPHA):
     mask = c_mask_T[:, :, None]
     big = jnp.asarray(1e30, v2c_d.dtype)
     absm = jnp.where(mask > 0, jnp.abs(v2c_d), big)
-    mag = alpha * minsum_extrinsic_mag(absm, axis=0)
+    mag = minsum_mag(minsum_extrinsic_mag(absm, axis=0), alpha, beta)
 
     neg = jnp.logical_and(v2c_d < 0, mask > 0)
     parity = jnp.sum(neg.astype(jnp.int32), axis=0, keepdims=True) & 1

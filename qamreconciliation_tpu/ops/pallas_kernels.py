@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .boxplus import (
-    MINSUM_ALPHA, minsum_extrinsic_mag, phi_llr, tanhfb_extrinsic_mag,
+    MINSUM_ALPHA, minsum_extrinsic_mag, minsum_mag, phi_llr,
+    tanhfb_extrinsic_mag,
 )
 
 try:  # TPU-only module; tests on CPU use interpret mode
@@ -76,7 +77,8 @@ def _kernel(v2c_ref, synd_ref, mask_ref, out_ref, *, tiny):
 
 
 def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
-                        tiny, dc_axis, rule="sumproduct"):
+                        tiny, dc_axis, rule="sumproduct",
+                        ms_alpha=MINSUM_ALPHA, ms_beta=0.0):
     out_dtype = t_ref.dtype
     compute = jnp.float32 if out_dtype == jnp.bfloat16 else out_dtype
     # upcast ONCE at load: Mosaic rejects bf16 vector compares ("target does
@@ -99,7 +101,9 @@ def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
         # normalized min-sum: transcendental-free magnitude (the phi form
         # is VPU-bound here — measured 0.935 vs 0.531 ms/iter per kernel
         # loop at N=64800/B=128, against a 0.424 ms/iter copy floor)
-        mag = MINSUM_ALPHA * minsum_extrinsic_mag(jnp.abs(v2c), dc_axis)
+        mag = minsum_mag(
+            minsum_extrinsic_mag(jnp.abs(v2c), dc_axis), ms_alpha, ms_beta
+        )
     elif rule == "tanhfb":
         # exact sum-product, tanh-F/B factorization: half the
         # transcendentals of the phi form (ops/boxplus.py)
@@ -140,11 +144,13 @@ def _pick_zb(z: int, B: int = 128, dc: int = 6) -> int | None:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_z", "interpret", "rule")
+    jax.jit,
+    static_argnames=("block_z", "interpret", "rule", "ms_alpha", "ms_beta"),
 )
 def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
                       block_z: int | None = None, interpret: bool = False,
-                      rule: str = "sumproduct"):
+                      rule: str = "sumproduct",
+                      ms_alpha: float = MINSUM_ALPHA, ms_beta: float = 0.0):
     """Fused check phase in the QC decoder's native layout.
 
     Args:
@@ -176,7 +182,8 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
     grid = (nb_c, nzb)
     out, viol = pl.pallas_call(
         functools.partial(
-            _check_phase_kernel, tiny=tiny, dc_axis=1, rule=rule
+            _check_phase_kernel, tiny=tiny, dc_axis=1, rule=rule,
+            ms_alpha=ms_alpha, ms_beta=ms_beta,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nb_c, dc, z, B), t.dtype),
@@ -203,11 +210,14 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_c", "interpret", "rule")
+    jax.jit,
+    static_argnames=("block_c", "interpret", "rule", "ms_alpha", "ms_beta"),
 )
 def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
                            block_c: int = 256, interpret: bool = False,
-                           rule: str = "sumproduct"):
+                           rule: str = "sumproduct",
+                           ms_alpha: float = MINSUM_ALPHA,
+                           ms_beta: float = 0.0):
     """Fused check phase for the generic decoder's SLOT-MAJOR [dc, C, B]
     layout (degree axis leading, so the TPU-tiled minormost dims are
     (checks, frames) with no sublane padding — see models/decoder.py).
@@ -272,7 +282,9 @@ def bp_check_phase_generic(t, c2v, synd, c_mask, tiny: float = 1e-30, *,
             absm = jnp.where(
                 mask > 0, jnp.abs(v2c), jnp.asarray(1e30, compute)
             )
-            mag = MINSUM_ALPHA * minsum_extrinsic_mag(absm, 0)
+            mag = minsum_mag(
+                minsum_extrinsic_mag(absm, 0), ms_alpha, ms_beta
+            )
         elif rule == "tanhfb":
             absm = jnp.where(
                 mask > 0, jnp.abs(v2c), jnp.asarray(1e30, compute)
@@ -428,7 +440,9 @@ def resident_vmem_bytes(nb_v: int, nb_c: int, dc: int, z: int, B: int,
 def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         k_rounds: int = 8, tiny: float = 1e-30,
                         interpret: bool = False, z_chunk: int | None = None,
-                        phi_impl: str = "phi"):
+                        phi_impl: str = "phi",
+                        ms_alpha: float = MINSUM_ALPHA,
+                        ms_beta: float = 0.0):
     """Build the K-iteration VMEM-resident QC flooding kernel.
 
     Args:
@@ -539,8 +553,9 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         )
                         v2c = t - c2v_s[cb, :, sl].astype(jnp.float32)
                         if rule == "minsum":
-                            mag = MINSUM_ALPHA * minsum_extrinsic_mag(
-                                jnp.abs(v2c), 0
+                            mag = minsum_mag(
+                                minsum_extrinsic_mag(jnp.abs(v2c), 0),
+                                ms_alpha, ms_beta,
                             )
                         elif phi_impl == "tanhfb":
                             # exact sum-product via the tanh forward/

@@ -54,6 +54,16 @@ def add_engine_args(parser: argparse.ArgumentParser):
         "~0.1 dB waterfall cost)",
     )
     parser.add_argument(
+        "--minsum-alpha", type=float, default=None,
+        help="Min-sum normalization scale (default 13/16); "
+        "mag = max(alpha*min - beta, 0)",
+    )
+    parser.add_argument(
+        "--minsum-beta", type=float, default=0.0,
+        help="Min-sum OFFSET correction (classic offset min-sum with "
+        "--minsum-alpha 1); default 0 = normalized min-sum only",
+    )
+    parser.add_argument(
         "--check-phi", choices=["phi", "tanhfb"], default="phi",
         help="Sum-product magnitude implementation (QC decoders): 'phi' "
         "(the reference-comparable sign/phi form, default) or 'tanhfb' "
@@ -154,6 +164,8 @@ def load_decoder(args):
     resident = getattr(args, "resident", False)
     resident_chunk = getattr(args, "resident_chunk", 16)
     check_phi = getattr(args, "check_phi", "phi")
+    ms_kw = dict(minsum_alpha=getattr(args, "minsum_alpha", None),
+                 minsum_beta=getattr(args, "minsum_beta", 0.0))
     if getattr(args, "qc", False):
         from ..models.qc_decoder import QCDecoder, load_qc_csv
 
@@ -162,7 +174,7 @@ def load_decoder(args):
                         check_rule=args.check_rule, schedule=schedule,
                         layered_chunk=chunk, resident=resident,
                         resident_chunk=resident_chunk,
-                        check_phi=check_phi)
+                        check_phi=check_phi, **ms_kw)
         return dec, dec.graph.e_to_v, dec.graph.e_to_c
     from ..models.decoder import Decoder
     from ..utils.edgefile import load_edge_csv
@@ -183,7 +195,7 @@ def load_decoder(args):
                                 schedule=schedule, layered_chunk=chunk,
                                 resident=resident,
                                 resident_chunk=resident_chunk,
-                                check_phi=check_phi)
+                                check_phi=check_phi, **ms_kw)
                 print(f"[lift-qc] detected z={z} circulant lifting "
                       f"({len(base_edges)} base edges)")
                 return dec, vid, cid
@@ -210,5 +222,5 @@ def load_decoder(args):
             "is flooding-only"
         )
     dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
-                  check_rule=args.check_rule, check_phi=check_phi)
+                  check_rule=args.check_rule, check_phi=check_phi, **ms_kw)
     return dec, vid, cid

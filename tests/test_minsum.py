@@ -174,3 +174,53 @@ def test_check_rule_validation():
     vid, cid = make_regular_ldpc_cached()
     with pytest.raises(ValueError, match="check_rule"):
         Decoder(vid, cid, check_rule="bogus")
+
+
+def test_offset_minsum_paths_agree():
+    """Offset min-sum (alpha=1, beta=0.4): the XLA, fused-Pallas, and
+    VMEM-resident QC paths produce bit-identical (success, iters, final),
+    and the offset actually changes the messages vs normalized min-sum."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from qamreconciliation_tpu import Matrix
+    from qamreconciliation_tpu.models.qc_decoder import (
+        QCDecoder, make_qc_ldpc,
+    )
+
+    base, vid, cid = make_qc_ldpc(nb_v=12, z=16, dv=3, dc=6, seed=4)
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(5)
+    word = rng.integers(0, 2, (8, 192))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 2.0, (8, 192))
+    kw = dict(dtype=jnp.float32, check_rule="minsum", minsum_alpha=1.0,
+              minsum_beta=0.4)
+    xla = QCDecoder(base, 16, use_pallas=False, **kw)
+    pal = QCDecoder(base, 16, use_pallas=True, **kw)
+    res = QCDecoder(base, 16, resident=True, resident_chunk=4, **kw)
+    nrm = QCDecoder(base, 16, dtype=jnp.float32, check_rule="minsum",
+                    use_pallas=False)
+    outs = [d.decode_batch(llr, synd, 20) for d in (xla, pal, res)]
+    for s, i, f in outs[1:]:
+        np.testing.assert_array_equal(np.asarray(outs[0][0]), np.asarray(s))
+        np.testing.assert_array_equal(np.asarray(outs[0][1]), np.asarray(i))
+        np.testing.assert_array_equal(
+            np.asarray(outs[0][2], np.float32), np.asarray(f, np.float32)
+        )
+    s_n, i_n, f_n = nrm.decode_batch(llr, synd, 20)
+    assert not np.array_equal(
+        np.asarray(outs[0][2], np.float32), np.asarray(f_n, np.float32)
+    )
+
+
+def test_minsum_beta_validation():
+    import pytest
+
+    from qamreconciliation_tpu.models.qc_decoder import (
+        QCDecoder, make_qc_ldpc,
+    )
+
+    base, _, _ = make_qc_ldpc(nb_v=12, z=16, dv=3, dc=6, seed=4)
+    with pytest.raises(ValueError):
+        QCDecoder(base, 16, check_rule="minsum", minsum_beta=-0.1)
