@@ -296,20 +296,31 @@ def tanhfb_extrinsic_mag(absm, axis: int):
         # saturated magnitude — matching the phi form's phi(0) clamp
         sat = jnp.log1p(1.0 - 6e-8) - jnp.log1p(-(1.0 - 6e-8))
         return jnp.moveaxis(jnp.full_like(x, sat), 0, axis)
+    # P/Q factorization: with e_j = exp(-x_j), tanh(x_j/2) = (1-e_j)/
+    # (1+e_j), so u_i = P_i/Q_i for P_i = prod_{j!=i}(1-e_j), Q_i =
+    # prod_{j!=i}(1+e_j), and 2 artanh(u_i) = log((Q_i+P_i)/(Q_i-P_i)).
+    # ONE exp and ONE log per edge — no per-edge division or log1p pair
+    # (the direct r-product form costs exp + div + 2 log1p).  Q <= 2^dc
+    # and P <= 1 keep the ratio in f32 range; the (Q-P) floor clamps the
+    # saturation at ~log(2/6e-8) ~= 17.2 like the u-clip it replaces.
     e = jnp.exp(-x)
-    r = (1.0 - e) / (1.0 + e)                    # tanh(x/2), in (0, 1]
-    rd = [r[d] for d in range(dc)]
-    F = [rd[0]]
-    for d in range(1, dc):
-        F.append(F[-1] * rd[d])
-    Bk = [rd[dc - 1]]
-    for d in range(dc - 2, -1, -1):
-        Bk.append(Bk[-1] * rd[d])
-    Bk = Bk[::-1]
-    u = jnp.stack(
-        [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, dc - 1)]
-        + [F[dc - 2]]
-    )
-    u = jnp.clip(u, 0.0, 1.0 - 6e-8)
-    mag = jnp.log1p(u) - jnp.log1p(-u)
+    pm = [1.0 - e[d] for d in range(dc)]         # 1 - e_j in [0, 1)
+    qm = [1.0 + e[d] for d in range(dc)]         # 1 + e_j in (1, 2]
+
+    def _allbutone(terms):
+        F = [terms[0]]
+        for d in range(1, dc):
+            F.append(F[-1] * terms[d])
+        Bk = [terms[dc - 1]]
+        for d in range(dc - 2, -1, -1):
+            Bk.append(Bk[-1] * terms[d])
+        Bk = Bk[::-1]
+        return jnp.stack(
+            [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, dc - 1)]
+            + [F[dc - 2]]
+        )
+
+    P = _allbutone(pm)
+    Q = _allbutone(qm)
+    mag = jnp.log((Q + P) / jnp.maximum(Q - P, 6e-8 * Q))
     return jnp.moveaxis(mag, 0, axis)
