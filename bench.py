@@ -87,6 +87,12 @@ PALLAS = {"auto": None, "0": False, "1": True}[
 RESIDENT = {"auto": None, "0": False, "1": True}[
     os.environ.get("BENCH_RESIDENT", "auto")
 ]
+# BP iterations per resident-kernel dispatch (early exit granularity vs
+# while-loop sync amortization; the decode probe and the rounds share it)
+RESIDENT_CHUNK = int(os.environ.get("BENCH_RESIDENT_CHUNK", 16))
+# running-totals dtype: "storage" (default) or "float32" (the knee-quality
+# hybrid: f32 totals + storage-width messages, QCDecoder(totals_dtype=...))
+TOTALS = os.environ.get("BENCH_TOTALS", "storage")
 SKIP_WATERFALL = os.environ.get("BENCH_SKIP_WATERFALL", "0") == "1"
 # softening LLR path: "poly" (gather-free Chebyshev, default) or "table"
 # (tabulated map + gathers; ~4x slower end-to-end on this backend)
@@ -149,7 +155,8 @@ def main():
             SCHEDULE == "flooding"
             and jax.default_backend() == "tpu"
             and z >= 256 and BATCH >= 32
-            and resident_vmem_bytes(36, 18, 6, z, BATCH, dt)
+            and resident_vmem_bytes(36, 18, 108, z, BATCH, dt,
+                                    doubled=False)
             + 28 * 2 ** 20 <= 128 * 2 ** 20
         )
 
@@ -166,7 +173,8 @@ def main():
         resident = resident_for(CHECK_RULE)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
                         check_rule=CHECK_RULE, schedule=SCHEDULE,
-                        resident=bool(resident))
+                        resident=bool(resident),
+                        resident_chunk=RESIDENT_CHUNK, totals_dtype=TOTALS)
         code = f"qc(3,6) z={z} N={dec.vnum}"
     else:
         if SCHEDULE != "flooding":
@@ -207,7 +215,8 @@ def main():
             resident = False
             extras["resident"] = False
             dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
-                            check_rule=CHECK_RULE, schedule=SCHEDULE)
+                            check_rule=CHECK_RULE, schedule=SCHEDULE,
+                            totals_dtype=TOTALS)
             # the engine captured the failed decoder: rebuild it too
             eng = ReconciliationEngine(dec, mat, pa, batch=BATCH, dtype=dt,
                                        llr_mode=LLR_MODE,
@@ -229,12 +238,35 @@ def main():
             out = f(lappr, synd, jnp.int32(probe_iters))
             np.asarray(out[1])
         ms_iter = (time.perf_counter() - t0) / reps / probe_iters * 1e3
+        # Emit the exact decode-probe configuration (VERDICT r3 weak-1: the
+        # r3 JSON's 0.755 ms/iter vs BASELINE's 0.580 could not be
+        # diagnosed because phi_impl/resident_chunk/probe_iters were not
+        # recorded) plus the VPU-utilization fraction (VERDICT r3 item 3:
+        # the resident loop has ~0 HBM traffic, so a GB/s roofline says
+        # nothing — see utils/perf.py for the ops model + assumptions).
+        from qamreconciliation_tpu.utils.perf import vpu_util_frac
+
+        phi_now = (
+            getattr(dec, "_resident_phi_resolved", None)
+            or getattr(dec, "check_phi", "phi")
+        )
         extras.update({
             "decode_ms_per_iter": round(ms_iter, 3),
             "decode_frames_per_s": round(
                 BATCH / (ms_iter * MAX_ITER) * 1e3, 1
             ),
+            "probe_iters": probe_iters,
+            "phi_impl": phi_now if CHECK_RULE == "sumproduct" else None,
+            "vpu_util_frac": round(
+                vpu_util_frac(ms_iter, len(vid), BATCH, CHECK_RULE,
+                              phi_now), 3
+            ),
         })
+        if resident:
+            extras["resident_chunk"] = dec.resident_chunk
+            dbl, tf32 = dec._resident_layout(BATCH)
+            extras["resident_double"] = dbl
+            extras["totals_f32"] = tf32
         if resident:
             # whole decode state lives in VMEM: per-iteration HBM traffic
             # amortizes to the one state round-trip per decode; the loop is
@@ -292,7 +324,8 @@ def main():
         resident = False
         extras["resident"] = False
         dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
-                        check_rule=CHECK_RULE, schedule=SCHEDULE)
+                        check_rule=CHECK_RULE, schedule=SCHEDULE,
+                        totals_dtype=TOTALS)
         eng = ReconciliationEngine(dec, mat, pa, batch=BATCH, dtype=dt,
                                    llr_mode=LLR_MODE,
                                    rounds_per_dispatch=RPD)

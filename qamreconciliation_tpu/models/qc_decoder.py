@@ -21,8 +21,8 @@ import jax.numpy as jnp
 
 from ..config import DEFAULT_DTYPE
 
-__all__ = ["QCDecoder", "detect_qc", "make_qc_ldpc", "save_qc_csv",
-           "load_qc_csv"]
+__all__ = ["QCDecoder", "detect_qc", "make_qc_ldpc", "make_qc_ira",
+           "save_qc_csv", "load_qc_csv"]
 
 
 def make_qc_ldpc(nb_v: int, z: int, dv: int = 3, dc: int = 6, seed: int = 0):
@@ -69,12 +69,75 @@ def make_qc_ldpc(nb_v: int, z: int, dv: int = 3, dc: int = 6, seed: int = 0):
     return base_edges, vid, cid
 
 
+def make_qc_ira(nb_info: int, nb_acc: int, z: int, dv: int = 3,
+                seed: int = 0):
+    """Irregular QC-IRA code: config-model information part + circulant
+    accumulator — the structure class of the reference's flagship codes
+    (IRA-style DVB-S2 LDPC, reference: sims/display_biawgn.py:30-35; the
+    reference's jagged-table decoder consumes them without special cases,
+    qamreconciliation/decoder.pyx:60-89).
+
+    Layout: ``nb_info`` information variable blocks each of degree ``dv``
+    (uniform-shift circulants onto random check blocks, duplicate-repaired
+    like :func:`make_qc_ldpc`) + ``nb_acc`` parity variable blocks in a
+    circulant staircase: check block i carries ``I + P^1`` on parity block
+    i (two base edges in one cell, shifts {0, 1}) and ``I`` on parity
+    block i-1.  Check-block degrees are therefore IRREGULAR — roughly
+    ``nb_info*dv/nb_acc + 3`` with the config-model spread and a lighter
+    first row.  N = (nb_info + nb_acc) * z, rate = nb_info / (nb_info +
+    nb_acc).
+
+    Returns ``(base_edges, vid, cid)`` in :func:`make_qc_ldpc`'s
+    convention.
+    """
+    if nb_acc < 2:
+        raise ValueError("need nb_acc >= 2 for a staircase accumulator")
+    rng = np.random.default_rng(seed)
+    vb = np.repeat(np.arange(nb_info), dv)
+    vb = vb[rng.permutation(vb.size)]
+    cb = rng.integers(0, nb_acc, vb.size)
+    shifts = rng.integers(0, z, vb.size)
+    for _ in range(1000):
+        key = (cb.astype(np.int64) * nb_info + vb) * z + shifts
+        _, first = np.unique(key, return_index=True)
+        dup = np.ones(key.size, bool)
+        dup[first] = False
+        if not dup.any():
+            break
+        shifts[dup] = rng.integers(0, z, int(dup.sum()))
+        cb[dup] = rng.integers(0, nb_acc, int(dup.sum()))
+    else:
+        raise RuntimeError("could not avoid duplicate circulants")
+    base_edges = [(int(c), int(v), int(s)) for c, v, s in zip(cb, vb, shifts)]
+    # circulant staircase accumulator on parity blocks nb_info..nb_info+nb_acc
+    for i in range(nb_acc):
+        p = nb_info + i
+        base_edges.append((i, p, 0))
+        base_edges.append((i, p, 1))          # I + P^1 cell
+        if i > 0:
+            base_edges.append((i, nb_info + i - 1, 0))
+    base_edges.sort()
+
+    k = np.arange(z)
+    vid = np.concatenate([v * z + k for (_, v, _) in base_edges])
+    cid = np.concatenate([c * z + (k + s) % z for (c, _, s) in base_edges])
+    return base_edges, vid, cid
+
+
 class QCDecoder:
     """Flooding sum-product syndrome decoder over a quasi-cyclic graph.
 
     Args:
-      base_edges: ``[(check_block, var_block, shift), ...]``; every check
-        block must have the same degree (regular QC row weight).
+      base_edges: ``[(check_block, var_block, shift), ...]``.  Check-block
+        degrees may DIFFER (irregular codes — the regime of real standards
+        like the IRA-style DVB-S2 family; the reference's jagged decoder
+        is irregular by construction, reference:
+        qamreconciliation/decoder.pyx:60-89): short rows pad to the max
+        degree with a neutral sentinel in the dense path and unroll at
+        their own degree in the layered/resident paths.  Parallel
+        circulants (two base edges in the same (cb, vb) cell with
+        different shifts — e.g. the I + P accumulator cells of QC-IRA
+        codes) are supported.
       z: circulant size.
       dtype: message dtype.
 
@@ -91,6 +154,9 @@ class QCDecoder:
                  resident: bool | None = None,
                  resident_chunk: int = 16,
                  resident_phi: str = "auto",
+                 resident_double: bool | None = None,
+                 resident_zchunk: int | None = None,
+                 totals_dtype: str = "storage",
                  check_phi: str = "phi",
                  minsum_alpha: float | None = None,
                  minsum_beta: float = 0.0):
@@ -158,6 +224,23 @@ class QCDecoder:
         if resident_phi not in ("auto", "phi", "tanhfb"):
             raise ValueError(f"unknown resident_phi {resident_phi!r}")
         self.resident_phi = resident_phi
+        # doubled-totals VMEM buffer in the resident kernel (round-4
+        # lever 2: single-slice pass-1 rolled reads).  None = auto: on
+        # when the doubled state still fits the v5e's 128 MiB VMEM.
+        self.resident_double = resident_double
+        # z-chunk size of the resident kernel's unrolled block loop
+        # (None = ops/pallas_kernels._pick_zchunk's fit heuristic; the
+        # freeze form's freed VMEM may admit larger chunks — measure)
+        self.resident_zchunk = resident_zchunk
+        # running-totals dtype: "storage" (totals at the message dtype —
+        # the round-2/3 default; dense/resident stay bit-comparable) or
+        # "float32" (the knee-quality hybrid, round-4 lever 4: totals and
+        # their accumulation in f32 while messages ride HBM/VMEM at the
+        # storage width; recovers most of the bf16 knee FER cost).  The
+        # layered schedule always uses f32 totals (incremental updates).
+        if totals_dtype not in ("storage", "float32"):
+            raise ValueError(f"unknown totals_dtype {totals_dtype!r}")
+        self.totals_dtype = totals_dtype
         # sum-product magnitude implementation in the DENSE path (fused
         # Pallas check phase + XLA fallback): "phi" (the reference-
         # comparable form, default — the scalar-oracle bit-exactness tier
@@ -187,16 +270,33 @@ class QCDecoder:
         self.cnum = self.nb_c * self.z
         self.ednum = len(self.base_edges) * self.z
 
-        # group base edges by check block; require uniform row weight
+        # group base edges by check block; degrees may DIFFER per block
+        # (irregular codes — the regime of real standards, e.g. IRA-style
+        # DVB-S2; the reference's jagged decoder is irregular by
+        # construction, reference: qamreconciliation/decoder.pyx:60-89)
         self._rows = [[] for _ in range(self.nb_c)]
         for e_idx, (c, v, s) in enumerate(self.base_edges):
             self._rows[c].append((v, s))
-        degs = {len(r) for r in self._rows}
-        if len(degs) != 1:
+        self.row_degrees = [len(r) for r in self._rows]
+        if min(self.row_degrees) < 1:
+            raise ValueError("empty check block (gap in check-block ids)")
+        # dc = the max check-block degree (the padded slot count of the
+        # dense path; for regular codes the row weight, unchanged meaning)
+        self.dc = max(self.row_degrees)
+        self.is_regular = min(self.row_degrees) == self.dc
+        if self.check_rule == "minsum" and min(self.row_degrees) < 2:
+            # a degree-1 check's all-but-one min is over an empty set: the
+            # sentinel would leak as a ~1e30 message.  phi/tanhfb saturate
+            # finitely; use those (or the generic Decoder) for such codes.
             raise ValueError(
-                f"QCDecoder requires uniform check-block degree, got {degs}"
+                "check_rule='minsum' requires check-block degree >= 2 "
+                "(degree-1 checks have no finite min-sum extrinsic)"
             )
-        self.dc = degs.pop()
+        if compressed and self.dc > 26:
+            raise ValueError(
+                "compressed=True packs per-slot signs into an int32 meta "
+                "word: check degree must be <= 26"
+            )
         self._decode_jit = None
 
         # Expanded-graph metadata so the engines can use a QCDecoder as a
@@ -253,26 +353,42 @@ class QCDecoder:
             return self._build_resident()
         return self._build_dense()
 
+    def _resident_layout(self, B: int):
+        """(doubled, totals_f32) resolved against the 128 MiB VMEM budget."""
+        from ..ops.pallas_kernels import resident_vmem_bytes
+
+        totals_f32 = (
+            self.totals_dtype == "float32" and self.dtype != jnp.float32
+        )
+        doubled = self.resident_double
+        if doubled is None:
+            doubled = resident_vmem_bytes(
+                self.nb_v, self.nb_c, len(self.base_edges), self.z, B,
+                self.dtype, doubled=True, totals_f32=totals_f32,
+            ) + 24 * 2 ** 20 <= 128 * 2 ** 20
+        return bool(doubled), totals_f32
+
     def _build_resident(self):
         """VMEM-resident flooding loop: K iterations per kernel dispatch.
 
-        The outer ``while_loop`` carries (totals, c2v, final, done, iters)
+        The outer ``while_loop`` carries (totals, c2v, done, iters)
         through ``bp_decode_rounds_qc`` chunk steps; per-iteration
-        convergence testing, iters recording, and capture-at-convergence
+        convergence testing, iters recording, and freeze-at-convergence
         all happen INSIDE the kernel, so semantics match
         :meth:`_build_dense` exactly (reference:
         qamreconciliation/decoder.pyx:391-436).  Early exit coarsens to
         ``resident_chunk`` granularity (a converged batch runs up to K-1
-        extra lockstep iterations; detection/iters/final stay per-
-        iteration exact, and iterations past ``max_iterations`` are
-        in-kernel no-ops so chunk overrun never perturbs failed frames'
-        final totals).
+        extra lockstep iterations; detection/iters stay per-iteration
+        exact, frozen frames' totals never change past their convergence
+        iteration, and iterations past ``max_iterations`` are in-kernel
+        no-ops so chunk overrun never perturbs failed frames' totals).
         """
         from ..ops.pallas_kernels import bp_decode_rounds_qc
 
         z = self.z
         nb_c, nb_v = self.nb_c, self.nb_v
         rows = self._rows
+        E = len(self.base_edges)
         dtype = self.dtype
         K = self.resident_chunk
         interpret = jax.default_backend() != "tpu"
@@ -286,11 +402,7 @@ class QCDecoder:
                 if self.check_phi == "tanhfb" or dtype == jnp.bfloat16
                 else "phi"
             )
-        step = bp_decode_rounds_qc(
-            rows, z, rule=self.check_rule, k_rounds=K, interpret=interpret,
-            phi_impl=phi_impl, ms_alpha=self.minsum_alpha,
-            ms_beta=self.minsum_beta,
-        )
+        self._resident_phi_resolved = phi_impl
 
         def consistent(total, synd):
             bits = (total.astype(jnp.float32) < 0).astype(jnp.int32)
@@ -307,49 +419,56 @@ class QCDecoder:
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
             B = prior_vb.shape[1]
+            doubled, totals_f32 = self._resident_layout(B)
+            step = bp_decode_rounds_qc(
+                rows, z, rule=self.check_rule, k_rounds=K,
+                interpret=interpret, phi_impl=phi_impl,
+                ms_alpha=self.minsum_alpha, ms_beta=self.minsum_beta,
+                doubled=doubled, totals_f32=totals_f32,
+                z_chunk=self.resident_zchunk,
+            )
+            tdtype = jnp.float32 if totals_f32 else dtype
             prior = prior_vb.astype(dtype).reshape(nb_v, z, B)
             synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
             synd8 = synd.astype(jnp.int8)
             maxi = jnp.full((1, 1), max_iterations, jnp.int32)
 
             def cond(state):
-                it, _, _, _, done8, _ = state
+                it, _, _, done8, _ = state
                 return jnp.logical_and(
                     it < max_iterations, ~jnp.all(done8[0] > 0)
                 )
 
             def body(state):
-                it, total, c2v, final, done8, iters8 = state
+                it, total, c2v, done8, iters8 = state
                 it0 = jnp.full((1, 1), it, jnp.int32)
-                total, c2v, final, done8, iters8 = step(
-                    it0, maxi, total, c2v, prior, synd8, final, done8,
-                    iters8,
+                total, c2v, done8, iters8 = step(
+                    it0, maxi, total, c2v, prior, synd8, done8, iters8,
                 )
-                return (it + K, total, c2v, final, done8, iters8)
+                return (it + K, total, c2v, done8, iters8)
 
             init = (
                 jnp.int32(0),
-                prior,
-                jnp.zeros((nb_c, self.dc, z, B), dtype),
-                prior,
+                prior.astype(tdtype),
+                jnp.zeros((E, z, B), dtype),
                 jnp.zeros((8, B), jnp.int32),
                 jnp.zeros((8, B), jnp.int32),
             )
-            it, total, _, final, done8, iters8 = jax.lax.while_loop(
+            it, total, _, done8, iters8 = jax.lax.while_loop(
                 cond, body, init
             )
             done = done8[0] > 0
             iters = iters8[0]
             # post-loop consistency check: frames converging at the very
-            # last variable update (same tail as _build_dense)
+            # last variable update (same tail as _build_dense).  total IS
+            # final for every frame: frozen at convergence for done frames,
+            # at the max_iterations update for failed ones.
             conv = consistent(total, synd)
             newly = jnp.logical_and(conv, ~done)
             iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
-            final = jnp.where(newly[None, None, :], total, final)
             done = jnp.logical_or(done, conv)
             iters = jnp.where(done, iters, max_iterations)
-            final = jnp.where(done[None, None, :], final, total)
-            return done, iters, final.reshape(nb_v * z, B)
+            return done, iters, total.reshape(nb_v * z, B)
 
         return jax.jit(decode_batched)
 
@@ -403,13 +522,13 @@ class QCDecoder:
                     meta_cb = meta[cb]                       # [z, B] int32
                     m1f = m1[cb].astype(jnp.float32)
                     m2f = m2[cb].astype(jnp.float32)
-                    idx = meta_cb & 7
+                    idx = meta_cb & 31
                     t_rows, v2c_rows = [], []
                     for d, (v, s) in enumerate(row):
                         t_d = jnp.roll(total[v], s, axis=0).astype(
                             jnp.float32
                         )
-                        sgn_bit = (meta_cb >> (3 + d)) & 1
+                        sgn_bit = (meta_cb >> (5 + d)) & 1
                         c2v_old = jnp.where(
                             idx == d, m2f, m1f
                         ) * (1 - 2 * sgn_bit).astype(jnp.float32)
@@ -439,7 +558,7 @@ class QCDecoder:
                     idx_new = jnp.zeros_like(meta_cb)
                     for d, m in enumerate(is_min):
                         idx_new = idx_new + d * m.astype(jnp.int32)
-                    idx_new = jnp.where(cnt == 1, idx_new, 7)
+                    idx_new = jnp.where(cnt == 1, idx_new, 31)
                     negs = [(x < 0).astype(jnp.int32) for x in v2c_rows]
                     par = negs[0]
                     for n in negs[1:]:
@@ -451,7 +570,7 @@ class QCDecoder:
                     m2_f32 = m2_cb.astype(jnp.float32)
                     for d, (v, s) in enumerate(row):
                         sgn = par ^ negs[d] ^ synd[cb]       # 1 = negative
-                        meta_new = meta_new | (sgn << (3 + d))
+                        meta_new = meta_new | (sgn << (5 + d))
                         c2v_new = (
                             jnp.where(idx_new == d, m2_f32, m1_f32)
                             * (1 - 2 * sgn).astype(jnp.float32)
@@ -512,7 +631,7 @@ class QCDecoder:
                 jnp.int32(0),
                 jnp.zeros((nb_c, z, B), dtype),
                 jnp.zeros((nb_c, z, B), dtype),
-                jnp.full((nb_c, z, B), 7, jnp.int32),
+                jnp.full((nb_c, z, B), 31, jnp.int32),
                 prior,
                 prior,
                 jnp.zeros(B, bool),
@@ -587,17 +706,22 @@ class QCDecoder:
         # totals accumulate incrementally: keep them at >= f32 (f64 parity
         # runs keep f64 end to end)
         acc_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
-        ones_mask = np.ones((dc, z), np.float32)
+        # one all-ones mask per distinct check-block degree (irregular
+        # rows update at their OWN degree — no padding in the layer loop)
+        ones_masks = {
+            d: np.ones((d, z), np.float32) for d in set(self.row_degrees)
+        }
 
         phi_impl = self.check_phi
 
         def layer_update(v2c, synd_cb):
-            """v2c [dc, z, B] -> new c2v [dc, z, B] (acc_dtype in/out).
+            """v2c [dcr, z, B] -> new c2v [dcr, z, B] (acc_dtype in/out).
 
             Reuses the slot-major check rules with an all-ones mask: the
-            layer layout [dc, z, B] is the slot-major [dc_max, C, B] with
+            layer layout [dcr, z, B] is the slot-major [dc_max, C, B] with
             C = z (full rows, no padding).
             """
+            ones_mask = ones_masks[v2c.shape[0]]
             if rule == "minsum":
                 return check_node_minsum_sm(
                     v2c, synd_cb, ones_mask,
@@ -635,10 +759,11 @@ class QCDecoder:
             def sweep(total, c2v):
                 """One serial pass over all check blocks."""
                 for cb, row in enumerate(rows):
+                    dcr = len(row)
                     t = jnp.stack(
                         [jnp.roll(total[v], s, axis=0) for (v, s) in row]
-                    )                                      # [dc, z, B] acc
-                    old = c2v[cb].astype(acc_dtype)
+                    )                                      # [dcr, z, B] acc
+                    old = c2v[cb, :dcr].astype(acc_dtype)
                     new = layer_update(t - old, synd[cb])
                     stored = new.astype(dtype)
                     # delta of the STORED values keeps total consistent
@@ -648,7 +773,7 @@ class QCDecoder:
                         total = total.at[v].add(
                             jnp.roll(delta[d], -s, axis=0)
                         )
-                    c2v = c2v.at[cb].set(stored)
+                    c2v = c2v.at[cb, :dcr].set(stored)
                 return total, c2v
 
             K = self.layered_chunk
@@ -710,6 +835,19 @@ class QCDecoder:
         nb_c, nb_v = self.nb_c, self.nb_v
         rows = self._rows
         dtype = self.dtype
+        # running-totals dtype (see ctor totals_dtype): accumulation and
+        # the gathered t ride acc_dtype; messages stay at storage width
+        acc_dtype = (
+            jnp.float32
+            if self.totals_dtype == "float32" and dtype != jnp.float64
+            else dtype
+        )
+        # irregular rows: short check blocks pad to dc with a +BIG
+        # sentinel slab — positive (no parity/sign contribution) and the
+        # exact neutral element of every magnitude rule (phi(BIG)=0,
+        # tanh(BIG/2)=1, never wins a min); padded c2v slots are never
+        # scattered, so the sentinel never reaches the totals.
+        BIG = 1e30
 
         def gather_totals(total):
             """total [nb_v, z, B] -> t [nb_c, dc, z, B] via rolls.
@@ -719,44 +857,52 @@ class QCDecoder:
             ``roll(total[vb], -s?)``: t[cb, d, j] = total[vb, (j - s) % z]
             = roll(total[vb], s, axis=0)[j].
             """
+            B = total.shape[-1]
+            pad = jnp.full((z, B), BIG, total.dtype)
             slabs = [
-                jnp.stack([jnp.roll(total[v], s, axis=0) for (v, s) in row])
+                jnp.stack(
+                    [jnp.roll(total[v], s, axis=0) for (v, s) in row]
+                    + [pad] * (dc - len(row))
+                )
                 for row in rows
             ]
             return jnp.stack(slabs)                       # [nb_c, dc, z, B]
 
         def scatter_partials(c2v):
-            """c2v [nb_c, dc, z, B] -> per-variable sums [nb_v, z, B]."""
+            """c2v [nb_c, dc, z, B] -> per-variable sums [nb_v, z, B]
+            (acc_dtype; padded slots of irregular rows are skipped)."""
             acc = [None] * nb_v
             for cb, row in enumerate(rows):
                 for d, (v, s) in enumerate(row):
-                    slab = jnp.roll(c2v[cb, d], -s, axis=0)
+                    slab = jnp.roll(c2v[cb, d], -s, axis=0).astype(acc_dtype)
                     acc[v] = slab if acc[v] is None else acc[v] + slab
             B = c2v.shape[-1]
             for vb in range(nb_v):
                 if acc[vb] is None:     # isolated block (e.g. loaded file
-                    acc[vb] = jnp.zeros((z, B), c2v.dtype)   # with a gap)
+                    acc[vb] = jnp.zeros((z, B), acc_dtype)   # with a gap)
             return jnp.stack(acc)                         # [nb_v, z, B]
 
         rule = self.check_rule
         if rule == "sumproduct" and self.check_phi == "tanhfb":
             rule = "tanhfb"
 
-        def qc_check_update(v2c, synd, tiny=1e-30):
-            """Check update in native [nb_c, dc, z, B] layout (full rows, no
-            mask): sign/phi sum-product with the syndrome prefactor — same
-            math as ops.boxplus.check_node_update, middle-axis reduces only
-            — or normalized min-sum when check_rule="minsum".
+        def qc_check_update(v2c, synd, tiny=1e-30, out_dtype=None):
+            """Check update in native [nb_c, dc, z, B] layout (padded slots
+            of irregular rows carry the +BIG neutral sentinel): sign/phi
+            sum-product with the syndrome prefactor — same math as
+            ops.boxplus.check_node_update, middle-axis reduces only — or
+            normalized min-sum when check_rule="minsum".
             bf16 messages are upcast to f32 for the magnitude math (see
-            ops/boxplus.py) and stored back at half width.
+            ops/boxplus.py) and stored back at ``out_dtype`` (the message
+            storage width — may differ from the acc_dtype totals).
             """
             from ..ops.boxplus import (
                 minsum_extrinsic_mag, minsum_mag, phi_llr,
                 tanhfb_extrinsic_mag,
             )
 
-            out_dtype = v2c.dtype
-            if out_dtype == jnp.bfloat16:
+            out_dtype = out_dtype or v2c.dtype
+            if v2c.dtype == jnp.bfloat16:
                 v2c = v2c.astype(jnp.float32)
             if rule == "minsum":
                 mag = minsum_mag(minsum_extrinsic_mag(jnp.abs(v2c), 1),
@@ -781,7 +927,9 @@ class QCDecoder:
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
             B = prior_vb.shape[1]
-            prior = prior_vb.astype(dtype).reshape(nb_v, z, B)
+            prior = prior_vb.astype(dtype).astype(acc_dtype).reshape(
+                nb_v, z, B
+            )
             synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
 
             def consistent(t):
@@ -816,7 +964,9 @@ class QCDecoder:
                             "legal VMEM blocking; using the XLA check "
                             "phase", stacklevel=2,
                         )
-                return consistent(t), qc_check_update(t - c2v, synd)
+                return consistent(t), qc_check_update(
+                    t - c2v.astype(acc_dtype), synd, out_dtype=dtype
+                )
 
             def cond(state):
                 it, _, _, _, done, _ = state

@@ -79,8 +79,14 @@ def _kernel(v2c_ref, synd_ref, mask_ref, out_ref, *, tiny):
 def _check_phase_kernel(t_ref, c2v_ref, synd_ref, out_ref, viol_ref, *,
                         tiny, dc_axis, rule="sumproduct",
                         ms_alpha=MINSUM_ALPHA, ms_beta=0.0):
-    out_dtype = t_ref.dtype
-    compute = jnp.float32 if out_dtype == jnp.bfloat16 else out_dtype
+    # out follows the MESSAGE storage dtype (c2v); t may ride a wider
+    # totals dtype (the f32-totals/bf16-messages hybrid, totals_dtype)
+    out_dtype = out_ref.dtype
+    compute = (
+        jnp.float32
+        if jnp.bfloat16 in (out_dtype, t_ref.dtype)
+        else t_ref.dtype
+    )
     # upcast ONCE at load: Mosaic rejects bf16 vector compares ("target does
     # not support this comparison"), and the phi math wants f32 anyway
     t = t_ref[:].astype(compute)
@@ -186,7 +192,7 @@ def bp_check_phase_qc(t, c2v, synd, tiny: float = 1e-30, *,
             ms_alpha=ms_alpha, ms_beta=ms_beta,
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nb_c, dc, z, B), t.dtype),
+            jax.ShapeDtypeStruct((nb_c, dc, z, B), c2v.dtype),
             jax.ShapeDtypeStruct((nb_c, nzb, 8, B), jnp.int32),
         ),
         grid=grid,
@@ -423,18 +429,27 @@ def _pick_zchunk(z: int, B: int = 128, dc: int = 6) -> int | None:
     return best
 
 
-def resident_vmem_bytes(nb_v: int, nb_c: int, dc: int, z: int, B: int,
-                        dtype) -> int:
-    """Padded-VMEM model of the resident state (tile-padded dims)."""
+def resident_vmem_bytes(nb_v: int, nb_c: int, e_base: int, z: int, B: int,
+                        dtype, *, doubled: bool = True,
+                        totals_f32: bool = False) -> int:
+    """Padded-VMEM model of the resident state (tile-padded dims).
+
+    ``e_base`` counts BASE EDGES (= sum of check-block degrees; for a
+    regular code nb_c * dc).  ``doubled`` stores totals [nb_v, 2z, B] so
+    pass-1 rolled reads are single slices; ``totals_f32`` keeps totals at
+    float32 regardless of the message dtype (the knee-quality hybrid)."""
     itemsize = jnp.dtype(dtype).itemsize
+    tot_item = 4 if totals_f32 else itemsize
     sub = {2: 16, 4: 8}.get(itemsize, 8)
+    tsub = {2: 16, 4: 8}.get(tot_item, 8)
     zp = -(-z // sub) * sub
+    ztp = -(-((2 if doubled else 1) * z) // tsub) * tsub
     zp8 = -(-z // 32) * 32          # int8 syndrome tile
     bp = -(-B // 128) * 128
-    # total + c2v + prior + final message-width scratch, plus int8 syndrome
-    msg = (3 * nb_v + nb_c * dc) * zp * bp * itemsize
+    total = nb_v * ztp * bp * tot_item
+    msgs = (nb_v + e_base) * zp * bp * itemsize   # prior + flat c2v
     synd = nb_c * zp8 * bp
-    return msg + synd
+    return total + msgs + synd
 
 
 def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
@@ -442,12 +457,19 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         interpret: bool = False, z_chunk: int | None = None,
                         phi_impl: str = "phi",
                         ms_alpha: float = MINSUM_ALPHA,
-                        ms_beta: float = 0.0):
+                        ms_beta: float = 0.0,
+                        doubled: bool = False,
+                        totals_f32: bool = False):
     """Build the K-iteration VMEM-resident QC flooding kernel.
 
     Args:
       rows: per-check-block base-edge lists ``rows[cb] = [(vb, shift), ...]``
-        (uniform length dc), QCDecoder's convention.
+        (QCDecoder's convention).  Row lengths may DIFFER — irregular check
+        degrees (the regime of real standard codes, e.g. the IRA-style
+        DVB-S2 family the reference's flagship experiments use, reference:
+        sims/display_biawgn.py:30-35 consumed by the fully general jagged
+        decoder, qamreconciliation/decoder.pyx:60-89) unroll naturally: each
+        check block's update is sized to its own degree, no padding waste.
       z: circulant size.
       rule: "sumproduct" | "minsum" (see ops/boxplus.py).
       k_rounds: BP iterations advanced per kernel call.
@@ -456,29 +478,54 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         path's sign/phi form, f32-rounding-comparable to it) or "tanhfb"
         (tanh forward/backward products: exact same box-plus math at half
         the transcendental count; measured numbers in BASELINE.md).
+      doubled: store totals [nb_v, 2z, B] (both halves identical) so every
+        pass-1 rolled chunk read is ONE static slice instead of the
+        two-slice+concat wraparound form (DESIGN.md round-4 lever 2).
+        MEASURED SLOWER on the v5e (0.638 vs 0.584 ms/iter tanh-F/B at
+        DVB-S2 scale): the extra per-chunk totals write in pass 2 costs
+        more than the concats it removes.  Kept as an off-by-default
+        option documenting the negative result.
+      totals_f32: keep the running totals (and their accumulation) in
+        float32 while messages stay at the storage dtype — the
+        knee-quality hybrid (DESIGN.md round-4 lever 4).  Matches the
+        dense path's ``totals_dtype="float32"`` numerics.
 
-    Returns ``step(it0, maxiter, total, c2v, prior, synd8, final, done,
-    iters) -> (total, c2v, final, done, iters)`` advancing ``k_rounds``
-    flooding iterations.  Shapes: total/prior/final [nb_v, z, B]; c2v
-    [nb_c, dc, z, B]; synd8 [nb_c, z, B] int8; done/iters [8, B] int32
-    (sublane-replicated frame masks); it0/maxiter scalar int32 arrays of
-    shape (1, 1).  Iterations with ``it0 + k >= maxiter`` are no-ops, so
-    chunk overrun past maxiter is harmless.
+    Returns ``step(it0, maxiter, total, c2v, prior, synd8, done, iters)
+    -> (total, c2v, done, iters)`` advancing ``k_rounds`` flooding
+    iterations.  Shapes: total [nb_v, z, B] (f32 when ``totals_f32``);
+    prior [nb_v, z, B] storage dtype; c2v [E_base, z, B] storage dtype
+    (FLAT row-major base-edge layout, rows concatenated); synd8
+    [nb_c, z, B] int8; done/iters [8, B] int32 (sublane-replicated frame
+    masks); it0/maxiter scalar int32 arrays of shape (1, 1).  Iterations
+    with ``it0 + k >= maxiter`` are no-ops, so chunk overrun past maxiter
+    is harmless.
+
+    Convergence bookkeeping is FREEZE-instead-of-capture (round-4 lever
+    3): pass 2 stops updating a frame's totals the iteration it converges,
+    so the returned ``total`` IS the reference-exact final LLR array — the
+    round-3 ``final`` buffer, its two DMAs and its per-iteration capture
+    blend are gone.  Bit-identical to capture: frozen lanes' totals never
+    change again and lanes are independent.
     """
     nb_c = len(rows)
     nb_v = max(v for row in rows for (v, _) in row) + 1
-    dc = len(rows[0])
+    degs = [len(row) for row in rows]
+    dc_max = max(degs)
+    e_off = [0]
+    for d_ in degs:
+        e_off.append(e_off[-1] + d_)
+    E = e_off[-1]
     # reverse adjacency in scatter_partials' accumulation order (cb
     # ascending, slot ascending) so the bf16/f32 left-fold sums are
     # bit-identical to the XLA path (models/qc_decoder.scatter_partials)
     cols = [[] for _ in range(nb_v)]
     for cb, row in enumerate(rows):
         for d, (v, s) in enumerate(row):
-            cols[v].append((cb, d, s))
+            cols[v].append((e_off[cb] + d, s))
 
-    def _read_rolled_chunk(slab_ref, s, j0, ZCk):
+    def _read_rolled_chunk(slab_ref, s, j0, ZCk, span=z):
         """Rows [j0, j0+ZCk) of ``jnp.roll(slab, s, 0)`` read DIRECTLY from
-        a [z, B] VMEM ref as one or two STATIC slices (Mosaic's
+        a [span, B] VMEM ref as one or two STATIC slices (Mosaic's
         tpu.dynamic_rotate only supports 32-bit element types; the
         circulant shifts are compile-time constants anyway).
 
@@ -486,28 +533,40 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         dozens of them live across the unrolled block loop — 55 MB of
         register-allocator spill slots at DVB-S2 scale, an 11 MB VMEM OOM.
         roll(x, s)[j] = x[(j - s) % z], so the chunk is the contiguous
-        (mod z) source window starting at (j0 - s) % z."""
+        (mod z) source window starting at (j0 - s) % z.  With ``span=2*z``
+        (the doubled-totals buffer) the window never wraps: start <= z-1
+        and ZCk <= z, so start + ZCk <= 2z-1 — always one slice."""
         start = (j0 - s) % z
-        if start + ZCk <= z:
+        if start + ZCk <= span:
             return slab_ref[start:start + ZCk]
-        head = slab_ref[start:z]
-        return jnp.concatenate([head, slab_ref[0:start + ZCk - z]], axis=0)
+        head = slab_ref[start:span]
+        return jnp.concatenate([head, slab_ref[0:start + ZCk - span]], axis=0)
+
+    tot_dtype = jnp.float32 if totals_f32 else None  # None = storage dtype
+    tot_span = 2 * z if doubled else z
 
     def _make_kernel(ZC, nzc):
         def kernel(it0_ref, maxiter_ref, total_in, c2v_in, prior_in, synd_in,
-                   final_in, done_in, iters_in,
-                   total_out, c2v_out, final_out, done_out, iters_out,
-                   total_s, c2v_s, prior_s, final_s, synd_s, done_s, iters_s,
+                   done_in, iters_in,
+                   total_out, c2v_out, done_out, iters_out,
+                   total_s, c2v_s, prior_s, synd_s, done_s, iters_s,
                    viol_s, sems):
-            dtype = total_s.dtype
-            # ---- load state into VMEM (one DMA each) ----
+            dtype = c2v_s.dtype
+            tdtype = total_s.dtype
+            # ---- load state into VMEM (one DMA each; totals land in
+            # both halves of the doubled buffer) ----
             loads = [
-                pltpu.make_async_copy(total_in, total_s, sems.at[0]),
+                pltpu.make_async_copy(
+                    total_in, total_s.at[:, 0:z], sems.at[0]
+                ),
                 pltpu.make_async_copy(c2v_in, c2v_s, sems.at[1]),
                 pltpu.make_async_copy(prior_in, prior_s, sems.at[2]),
                 pltpu.make_async_copy(synd_in, synd_s, sems.at[3]),
-                pltpu.make_async_copy(final_in, final_s, sems.at[4]),
             ]
+            if doubled:
+                loads.append(pltpu.make_async_copy(
+                    total_in, total_s.at[:, z:2 * z], sems.at[4]
+                ))
             for d_ in loads:
                 d_.start()
             for d_ in loads:
@@ -534,15 +593,19 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 # slot writes + one reduce at the end keep the blocks
                 # schedulable in isolation.
                 for cb, row in enumerate(rows):
+                    e0 = e_off[cb]
+                    dcr = len(row)
                     # circulant "gather": rolled chunks read straight from
                     # the VMEM ref (t[d, j] = total[vb, (j - s) % z], the
-                    # same convention as qc_decoder.gather_totals)
+                    # same convention as qc_decoder.gather_totals); on the
+                    # doubled buffer each read is a single static slice
                     for zc in range(nzc):
                         sl = slice(zc * ZC, (zc + 1) * ZC)
                         t = jnp.stack([
-                            _read_rolled_chunk(total_s.at[v], s, zc * ZC, ZC)
+                            _read_rolled_chunk(total_s.at[v], s, zc * ZC,
+                                               ZC, span=tot_span)
                             for (v, s) in row
-                        ]).astype(jnp.float32)             # [dc, ZC, B]
+                        ]).astype(jnp.float32)             # [dcr, ZC, B]
                         synd_i = synd_s[cb, sl].astype(jnp.int32)
                         neg_t = (t < 0).astype(jnp.int32)
                         parity = jnp.sum(neg_t, axis=0) & 1
@@ -551,7 +614,7 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         viol_s[cb * nzc + zc] = jnp.broadcast_to(
                             cnt[None, :], (8, cnt.shape[0])
                         )
-                        v2c = t - c2v_s[cb, :, sl].astype(jnp.float32)
+                        v2c = t - c2v_s[e0:e0 + dcr, sl].astype(jnp.float32)
                         if rule == "minsum":
                             mag = minsum_mag(
                                 minsum_extrinsic_mag(jnp.abs(v2c), 0),
@@ -571,46 +634,47 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                             mag = phi_llr(s_phi - phim, tiny)
                         neg = (v2c < 0).astype(jnp.int32)
                         par = jnp.sum(neg, axis=0, keepdims=True) & 1
-                        sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(
-                            jnp.float32
+                        # syndrome prefactor folded into the sign XOR chain:
+                        # (1-2*(par^neg))*(1-2*synd) == (1-2*(par^neg^synd))
+                        # bit-exactly (+-1 flips are exact in float) — one
+                        # multiply per edge saved
+                        ext = jnp.bitwise_xor(
+                            jnp.bitwise_xor(par, neg), synd_i[None]
                         )
-                        pref = (1 - 2 * synd_i).astype(jnp.float32)[None]
-                        c2v_s[cb, :, sl] = (sign * pref * mag).astype(dtype)
+                        sign = (1 - 2 * ext).astype(jnp.float32)
+                        c2v_s[e0:e0 + dcr, sl] = (sign * mag).astype(dtype)
 
-                # ---- bookkeeping: iters / done / final capture ----
+                # ---- bookkeeping: iters / done ----
                 conv = (jnp.sum(viol_s[:], axis=0) == 0).astype(
                     jnp.int32
                 )                                           # [8, B]
                 newly = conv * (1 - done_s[:])
                 iters_s[:] = jnp.where(newly > 0, it, iters_s[:])
                 done_s[:] = jnp.maximum(done_s[:], conv)
-
-                # capture-at-convergence: blend the pre-update totals into
-                # the VMEM-resident final buffer for newly converged frames.
-                # UNconditional on purpose: predicating these 36 vector
-                # read-modify-writes on a data-dependent scalar
-                # (pl.when(any_newly)) pushed Mosaic into a spill-heavy
-                # scheduling regime, and the blend is only ~33 MB of VMEM
-                # traffic (~10 us) per iteration anyway.
-                nw = newly[0:1, :] > 0                      # [1, B]
-                for vb in range(nb_v):
-                    final_s[vb] = jnp.where(nw, total_s[vb], final_s[vb])
+                frozen = done_s[0:1, :] > 0                 # [1, B]
 
                 # ---- pass 2: variable update (totals from new c2v) ----
-                # (also chunked so every value temp is [ZC, B]-sized)
+                # freeze-instead-of-capture: lanes whose frames are done
+                # keep their totals — an unconditional vector select fused
+                # into the writes pass 2 makes anyway (no extra buffer, no
+                # data-dependent predication; see docstring)
                 for vb in range(nb_v):
                     for zc in range(nzc):
                         sl = slice(zc * ZC, (zc + 1) * ZC)
                         acc = None
-                        for (cb, d, s) in cols[vb]:
+                        for (eidx, s) in cols[vb]:
                             slab = _read_rolled_chunk(
-                                c2v_s.at[cb, d], -s, zc * ZC, ZC
+                                c2v_s.at[eidx], -s, zc * ZC, ZC
                             )
+                            if totals_f32:
+                                slab = slab.astype(jnp.float32)
                             acc = slab if acc is None else acc + slab
-                        if acc is None:      # isolated block (file gap)
-                            total_s[vb, sl] = prior_s[vb, sl]
-                        else:
-                            total_s[vb, sl] = prior_s[vb, sl] + acc
+                        pr = prior_s[vb, sl].astype(tdtype)
+                        new = pr if acc is None else pr + acc
+                        val = jnp.where(frozen, total_s[vb, sl], new)
+                        total_s[vb, sl] = val
+                        if doubled:
+                            total_s[vb, z + zc * ZC:z + (zc + 1) * ZC] = val
 
                 return ()
 
@@ -618,9 +682,10 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
 
             # ---- store state back ----
             stores = [
-                pltpu.make_async_copy(total_s, total_out, sems.at[0]),
+                pltpu.make_async_copy(
+                    total_s.at[:, 0:z], total_out, sems.at[0]
+                ),
                 pltpu.make_async_copy(c2v_s, c2v_out, sems.at[1]),
-                pltpu.make_async_copy(final_s, final_out, sems.at[2]),
             ]
             for d_ in stores:
                 d_.start()
@@ -631,17 +696,20 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
 
         return kernel
 
-    def step(it0, maxiter, total, c2v, prior, synd8, final, done, iters):
-        dtype = total.dtype
+    def step(it0, maxiter, total, c2v, prior, synd8, done, iters):
+        dtype = c2v.dtype
         B = total.shape[-1]
-        ZC = z_chunk or _pick_zchunk(z, B=B, dc=dc)
+        ZC = z_chunk or _pick_zchunk(z, B=B, dc=dc_max)
         if ZC is None or z % ZC:
             raise ValueError(
                 f"no legal resident z-chunking for z={z}, B={B}"
             )
         nzc = z // ZC
         kernel = _make_kernel(ZC, nzc)
-        state_bytes = resident_vmem_bytes(nb_v, nb_c, dc, z, B, dtype)
+        state_bytes = resident_vmem_bytes(
+            nb_v, nb_c, E, z, B, dtype, doubled=doubled,
+            totals_f32=totals_f32,
+        )
         vlimit = min(int(state_bytes + 40 * 2**20), 128 * 2**20)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -649,35 +717,31 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         return pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct(total.shape, dtype),
+                jax.ShapeDtypeStruct(total.shape, total.dtype),
                 jax.ShapeDtypeStruct(c2v.shape, dtype),
-                jax.ShapeDtypeStruct(final.shape, dtype),
                 jax.ShapeDtypeStruct(done.shape, jnp.int32),
                 jax.ShapeDtypeStruct(iters.shape, jnp.int32),
             ),
             in_specs=[smem_spec, smem_spec, any_spec, any_spec, any_spec,
-                      any_spec, any_spec, vmem_spec, vmem_spec],
-            out_specs=(any_spec, any_spec, any_spec, vmem_spec, vmem_spec),
+                      any_spec, vmem_spec, vmem_spec],
+            out_specs=(any_spec, any_spec, vmem_spec, vmem_spec),
             scratch_shapes=[
-                pltpu.VMEM((nb_v, z, B), dtype),          # total_s
-                pltpu.VMEM((nb_c, dc, z, B), dtype),      # c2v_s
+                pltpu.VMEM((nb_v, tot_span, B),
+                           tot_dtype or dtype),           # total_s
+                pltpu.VMEM((E, z, B), dtype),             # c2v_s (flat)
                 pltpu.VMEM((nb_v, z, B), dtype),          # prior_s
-                pltpu.VMEM((nb_v, z, B), dtype),          # final_s
                 pltpu.VMEM((nb_c, z, B), jnp.int8),       # synd_s
                 pltpu.VMEM((8, B), jnp.int32),            # done_s
                 pltpu.VMEM((8, B), jnp.int32),            # iters_s
                 pltpu.VMEM((nb_c * nzc, 8, B), jnp.int32),  # viol_s
                 pltpu.SemaphoreType.DMA((5,)),
             ],
-            # total/c2v are donated in-place; final is NOT aliased
-            # (the kernel seeds final_out from final_in with an
-            # explicit DMA — aliasing would make that a same-
-            # address copy)
+            # total/c2v are donated in-place
             input_output_aliases={2: 0, 3: 1},
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=vlimit
             ) if pltpu is not None and not interpret else None,
             interpret=interpret,
-        )(it0, maxiter, total, c2v, prior, synd8, final, done, iters)
+        )(it0, maxiter, total, c2v, prior, synd8, done, iters)
 
     return step

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--resident", type=int, default=0)
     ap.add_argument("--phi", default="phi", choices=["phi", "tanhfb"])
     ap.add_argument("--resident-chunk", type=int, default=50)
+    ap.add_argument("--totals-dtype", default="storage",
+                    choices=["storage", "float32"])
+    ap.add_argument("--resident-double", type=int, default=-1,
+                    help="-1 auto, 0 off, 1 on")
+    ap.add_argument("--zchunk", type=int, default=0, help="0 = auto")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -53,6 +58,10 @@ def main():
                         check_rule=args.check, schedule=args.schedule,
                         resident=bool(args.resident),
                         resident_chunk=args.resident_chunk,
+                        resident_double=(None if args.resident_double < 0
+                                         else bool(args.resident_double)),
+                        resident_zchunk=args.zchunk or None,
+                        totals_dtype=args.totals_dtype,
                         check_phi=args.phi)
     else:
         from qamreconciliation_tpu.models.decoder import Decoder
@@ -82,7 +91,8 @@ def main():
         "n": args.n, "batch": args.batch, "qc": args.qc,
         "pallas": args.pallas, "dtype": args.dtype, "check": args.check,
         "schedule": args.schedule, "resident": args.resident,
-        "phi": args.phi,
+        "phi": args.phi, "resident_chunk": args.resident_chunk,
+        "totals_dtype": args.totals_dtype,
         "ms_per_iter": round(ms_iter, 3),
         "decode_fps": round(args.batch / (ms_iter * args.maxiter) * 1e3, 1),
         "compile_s": round(compile_s, 1),

@@ -60,10 +60,91 @@ def test_qc_engine_drop_in(qc):
         assert 0.0 <= r.ber <= 1.0
 
 
-def test_qc_rejects_irregular_rows():
-    # two base edges on check 0, one on check 1 -> non-uniform row weight
+@pytest.fixture(scope="module")
+def irr():
+    """Irregular QC-IRA code: mixed check degrees + parallel circulants
+    (the I + P accumulator cells) — the regime of real standard codes
+    (reference: sims/display_biawgn.py:30-35 consumed by the jagged
+    decoder, qamreconciliation/decoder.pyx:60-89)."""
+    from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
+
+    base, vid, cid = make_qc_ira(nb_info=8, nb_acc=4, z=16, dv=3, seed=2)
+    return base, vid, cid
+
+
+def test_qc_irregular_degrees(irr):
+    base, vid, cid = irr
+    dec = QCDecoder(base, 16)
+    assert not dec.is_regular
+    assert len(set(dec.row_degrees)) > 1          # genuinely mixed degrees
+    assert min(dec.row_degrees) >= 2
+
+
+@pytest.mark.parametrize("variant", [
+    dict(),                                        # dense XLA, phi
+    dict(use_pallas=True),                         # dense fused kernel
+    dict(check_phi="tanhfb"),                      # dense tanh-F/B
+    dict(check_rule="minsum"),                     # dense min-sum
+    dict(schedule="layered"),                      # layered serial-C
+    dict(resident=True, resident_chunk=4),         # VMEM-resident (interp)
+    dict(resident=True, resident_chunk=4,
+         totals_dtype="float32"),                  # f32-totals hybrid
+    dict(check_rule="minsum", compressed=True),    # compressed min-sum
+])
+def test_qc_irregular_matches_generic(irr, variant):
+    """VERDICT round-3 item 2: a mixed-degree QC code must decode
+    bit-identically (success, iters) to the generic Decoder on EVERY QC
+    path, with final LLRs to float tolerance."""
+    base, vid, cid = irr
+    qdec = QCDecoder(base, 16, dtype=jnp.float32, **variant)
+    gdec = Decoder(vid, cid, dtype=jnp.float32,
+                   check_rule=variant.get("check_rule", "sumproduct"),
+                   check_phi=variant.get("check_phi", "phi"))
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(9)
+    B = 6
+    word = rng.integers(0, 2, (B, qdec.vnum))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 2.0, (B, qdec.vnum))
+    s1, i1, f1 = gdec.decode_batch(llr, synd, 30)
+    s2, i2, f2 = qdec.decode_batch(llr, synd, 30)
+    if variant.get("schedule") == "layered":
+        # layered converges on its own (faster) trajectory; semantics
+        # checks live in test_layered_*.  Here: no worse success.
+        assert np.asarray(s2).sum() >= np.asarray(s1).sum() > 0
+        return
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(f1, np.float32), np.asarray(f2, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+    assert int(np.asarray(s1).sum()) > 0
+
+
+def test_qc_irregular_syndrome_and_detect(irr):
+    """Roll syndrome matches the expanded gather; detect_qc recovers the
+    irregular lifting (incl. the parallel-circulant accumulator cells)."""
+    from qamreconciliation_tpu.models.qc_decoder import detect_qc
+
+    base, vid, cid = irr
+    dec = QCDecoder(base, 16, use_pallas=False)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.integers(0, 2, (dec.vnum, 4)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(dec.syndrome_from_bits(w)),
+        np.asarray(dec.graph.syndrome_from_bits(w)),
+    )
+    got = detect_qc(vid, cid)
+    assert got is not None and got[1] == 16
+    assert sorted(got[0]) == sorted(base)
+
+
+def test_qc_minsum_rejects_degree_one_checks():
+    # degree-1 check: min-sum's all-but-one extrinsic has no finite value
     with pytest.raises(ValueError):
-        QCDecoder([(0, 0, 1), (0, 1, 2), (1, 0, 3)], z=8)
+        QCDecoder([(0, 0, 1), (0, 1, 2), (1, 0, 3)], z=8,
+                  check_rule="minsum")
 
 
 def test_make_qc_no_duplicate_circulants():
