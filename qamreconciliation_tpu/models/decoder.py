@@ -360,11 +360,22 @@ class Decoder:
                     final,
                 )
 
-                # gather 2: slot-major check flat [dc*C, B] -> [dv, V, B]
-                c2v_v = c2v_new.reshape(-1, B)[g._v_from_c_T]
-                total_new = prior_vb + jnp.sum(
-                    c2v_v * v_mask_T[:, :, None], axis=0
+                # gather 2: slot-major check flat [dc*C, B] -> [dv, V, B].
+                # Accumulate in f32 and round ONCE to the storage dtype
+                # (bf16 left-fold sums round every add; upcast-sum-round-
+                # once is strictly more accurate at identical HBM traffic).
+                sum_dtype = (
+                    jnp.float64 if dtype == jnp.float64 else jnp.float32
                 )
+                c2v_v = c2v_new.reshape(-1, B)[g._v_from_c_T].astype(
+                    sum_dtype
+                )
+                total_new = (
+                    prior_vb.astype(sum_dtype) + jnp.sum(
+                        c2v_v * v_mask_T.astype(sum_dtype)[:, :, None],
+                        axis=0,
+                    )
+                ).astype(dtype)
                 return (
                     it + 1, c2v_new, total_new, final_new, done_new, iters_new
                 )

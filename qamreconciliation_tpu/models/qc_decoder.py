@@ -310,6 +310,18 @@ class QCDecoder:
         )
         self.graph = TannerGraph(vid, cid)
 
+    # GSPMD sharding hooks (overridden by parallel.graph_shard.
+    # ShardedQCDecoder to z-shard the dense flooding state over a mesh;
+    # identity on the single-device decoder).
+    def _constrain_vz(self, x):      # [nb_v, z, B]
+        return x
+
+    def _constrain_cz(self, x):      # [nb_c, z, B]
+        return x
+
+    def _constrain_msg(self, x):     # [nb_c, dc, z, B]
+        return x
+
     def syndrome_from_bits(self, bits):
         """Syndrome via circulant rolls: [V, B] int (0/1) -> [C, B] int32.
 
@@ -575,14 +587,18 @@ class QCDecoder:
                             jnp.where(idx_new == d, m2_f32, m1_f32)
                             * (1 - 2 * sgn).astype(jnp.float32)
                         ).astype(dtype)
-                        slab = jnp.roll(c2v_new, -s, axis=0)
+                        # f32 accumulation, one rounding at the total store
+                        # (mirrors the dense path's scatter_partials)
+                        slab = jnp.roll(c2v_new, -s, axis=0).astype(
+                            jnp.float32
+                        )
                         acc[v] = slab if acc[v] is None else acc[v] + slab
                     m1n.append(m1_cb)
                     m2n.append(m2_cb)
                     metan.append(meta_new)
                 for vb in range(nb_v):
                     if acc[vb] is None:
-                        acc[vb] = jnp.zeros((z, B), dtype)
+                        acc[vb] = jnp.zeros((z, B), jnp.float32)
                 return (
                     viol == 0,
                     jnp.stack(m1n),
@@ -621,7 +637,9 @@ class QCDecoder:
                     lambda f: f,
                     final,
                 )
-                total_new = prior + sums
+                total_new = (
+                    prior.astype(jnp.float32) + sums
+                ).astype(dtype)
                 return (
                     it + 1, m1n, m2n, metan, total_new, final_new,
                     done_new, iters_new,
@@ -868,18 +886,24 @@ class QCDecoder:
             ]
             return jnp.stack(slabs)                       # [nb_c, dc, z, B]
 
+        # variable-update accumulation dtype: ALWAYS at least f32, with one
+        # rounding at the store (bf16 left-fold sums round at every add;
+        # upcast-sum-round-once is strictly more accurate at identical HBM
+        # traffic).  Mirrored by the resident kernel's pass 2.
+        sum_dtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
+
         def scatter_partials(c2v):
             """c2v [nb_c, dc, z, B] -> per-variable sums [nb_v, z, B]
-            (acc_dtype; padded slots of irregular rows are skipped)."""
+            (sum_dtype; padded slots of irregular rows are skipped)."""
             acc = [None] * nb_v
             for cb, row in enumerate(rows):
                 for d, (v, s) in enumerate(row):
-                    slab = jnp.roll(c2v[cb, d], -s, axis=0).astype(acc_dtype)
+                    slab = jnp.roll(c2v[cb, d], -s, axis=0).astype(sum_dtype)
                     acc[v] = slab if acc[v] is None else acc[v] + slab
             B = c2v.shape[-1]
             for vb in range(nb_v):
                 if acc[vb] is None:     # isolated block (e.g. loaded file
-                    acc[vb] = jnp.zeros((z, B), acc_dtype)   # with a gap)
+                    acc[vb] = jnp.zeros((z, B), sum_dtype)   # with a gap)
             return jnp.stack(acc)                         # [nb_v, z, B]
 
         rule = self.check_rule
@@ -927,10 +951,12 @@ class QCDecoder:
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
             B = prior_vb.shape[1]
-            prior = prior_vb.astype(dtype).astype(acc_dtype).reshape(
-                nb_v, z, B
+            prior = self._constrain_vz(
+                prior_vb.astype(dtype).astype(acc_dtype).reshape(nb_v, z, B)
             )
-            synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
+            synd = self._constrain_cz(
+                synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
+            )
 
             def consistent(t):
                 bits = (t < 0).astype(jnp.int32)
@@ -991,14 +1017,16 @@ class QCDecoder:
                     final,
                 )
 
-                total_new = prior + scatter_partials(c2v_new)
+                total_new = (
+                    prior.astype(sum_dtype) + scatter_partials(c2v_new)
+                ).astype(acc_dtype)
                 return (
                     it + 1, c2v_new, total_new, final_new, done_new, iters_new
                 )
 
             init = (
                 jnp.int32(0),
-                jnp.zeros((nb_c, dc, z, B), dtype),
+                self._constrain_msg(jnp.zeros((nb_c, dc, z, B), dtype)),
                 prior,
                 prior,
                 jnp.zeros(B, bool),

@@ -634,15 +634,20 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                             mag = phi_llr(s_phi - phim, tiny)
                         neg = (v2c < 0).astype(jnp.int32)
                         par = jnp.sum(neg, axis=0, keepdims=True) & 1
-                        # syndrome prefactor folded into the sign XOR chain:
-                        # (1-2*(par^neg))*(1-2*synd) == (1-2*(par^neg^synd))
-                        # bit-exactly (+-1 flips are exact in float) — one
-                        # multiply per edge saved
-                        ext = jnp.bitwise_xor(
-                            jnp.bitwise_xor(par, neg), synd_i[None]
+                        # NOTE (measured negative result): folding the
+                        # syndrome prefactor into this XOR chain
+                        # ((1-2*(par^neg^synd)) — bit-identical, one multiply
+                        # saved) pushed Mosaic into the register-spill regime
+                        # (72 MB of spill slots, VMEM OOM at 155 MB) — the
+                        # same value-liveness hazard as DESIGN.md's resident
+                        # rules 3/4.  Keep the float sign*pref product.
+                        sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(
+                            jnp.float32
                         )
-                        sign = (1 - 2 * ext).astype(jnp.float32)
-                        c2v_s[e0:e0 + dcr, sl] = (sign * mag).astype(dtype)
+                        pref = (1 - 2 * synd_i).astype(jnp.float32)[None]
+                        c2v_s[e0:e0 + dcr, sl] = (
+                            sign * pref * mag
+                        ).astype(dtype)
 
                 # ---- bookkeeping: iters / done ----
                 conv = (jnp.sum(viol_s[:], axis=0) == 0).astype(
@@ -661,16 +666,18 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 for vb in range(nb_v):
                     for zc in range(nzc):
                         sl = slice(zc * ZC, (zc + 1) * ZC)
+                        # accumulate in f32 and round ONCE at the store:
+                        # strictly fewer roundings than summing at bf16
+                        # (mirrored by qc_decoder.scatter_partials so the
+                        # dense/resident bit-parity tier holds)
                         acc = None
                         for (eidx, s) in cols[vb]:
                             slab = _read_rolled_chunk(
                                 c2v_s.at[eidx], -s, zc * ZC, ZC
-                            )
-                            if totals_f32:
-                                slab = slab.astype(jnp.float32)
+                            ).astype(jnp.float32)
                             acc = slab if acc is None else acc + slab
-                        pr = prior_s[vb, sl].astype(tdtype)
-                        new = pr if acc is None else pr + acc
+                        pr = prior_s[vb, sl].astype(jnp.float32)
+                        new = (pr if acc is None else pr + acc).astype(tdtype)
                         val = jnp.where(frozen, total_s[vb, sl], new)
                         total_s[vb, sl] = val
                         if doubled:

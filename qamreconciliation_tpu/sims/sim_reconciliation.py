@@ -66,11 +66,15 @@ def build_parser():
                         help="Instead of the Alternating configuration, use "
                         "the Base configuration")
     parser.add_argument("--graph-shard", action="store_true",
-                        help="Partition the Tanner graph's check nodes over "
-                        "--devices devices (for codes too large for one "
-                        "chip); frames stay whole, variable totals are "
-                        "psum-reduced per BP iteration.  Mutually exclusive "
-                        "with frame-shard DP and --point-batch")
+                        help="Partition the Tanner GRAPH over --devices "
+                        "devices (for codes too large for one chip); frames "
+                        "stay whole.  Generic codes shard check nodes "
+                        "(variable totals psum-reduced per BP iteration); "
+                        "--qc/--lift-qc codes shard the circulant lane axis "
+                        "(rolls ride ICI collective-permutes).  Composes "
+                        "with --check-rule/--check-phi/--minsum-alpha/"
+                        "--minsum-beta; mutually exclusive with frame-shard "
+                        "DP and --point-batch")
     parser.add_argument("--point-batch", action="store_true",
                         help="Advance ALL SNR points per device dispatch "
                         "(vmapped over the grid; fastest for small-N full sweeps — at DVB-S2 scale the HBM-constrained per-point batch underfills the lane dim and sequential sweeps win, see BASELINE.md). "
@@ -85,17 +89,15 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     common_init_runtime()
 
-    if args.graph_shard and (args.qc or args.lift_qc or args.point_batch):
+    if args.graph_shard and args.point_batch:
         raise SystemExit(
-            "--graph-shard is mutually exclusive with "
-            "--qc/--lift-qc/--point-batch"
+            "--graph-shard is mutually exclusive with --point-batch"
         )
     if args.graph_shard and args.schedule != "flooding":
         raise SystemExit("--graph-shard supports only --schedule flooding")
-    if args.graph_shard and getattr(args, "check_phi", "phi") != "phi":
-        raise SystemExit("--graph-shard supports only --check-phi phi")
     if args.graph_shard and getattr(args, "resident", False):
-        raise SystemExit("--graph-shard is incompatible with --resident")
+        raise SystemExit("--graph-shard is incompatible with --resident "
+                         "(VMEM residency is single-chip)")
     if getattr(args, "resident", False) and args.point_batch:
         raise SystemExit(
             "--resident is incompatible with --point-batch (the SNR-point "
@@ -104,13 +106,26 @@ def main(argv=None):
         )
     dec, vid, cid = load_decoder(args)
     if args.graph_shard:
+        from ..models.qc_decoder import QCDecoder
         from ..parallel import make_mesh
-        from ..parallel.graph_shard import ShardedDecoder
+        from ..parallel.graph_shard import ShardedDecoder, ShardedQCDecoder
 
-        dec = ShardedDecoder(
-            vid, cid, make_mesh(args.devices, axis_name="gs"),
-            dtype=np.dtype(args.dtype), check_rule=args.check_rule,
-        )
+        mesh = make_mesh(args.devices, axis_name="gs")
+        ms_kw = dict(minsum_alpha=args.minsum_alpha,
+                     minsum_beta=args.minsum_beta)
+        if isinstance(dec, QCDecoder):
+            # quasi-cyclic: shard the circulant lane axis (rolls ride ICI)
+            dec = ShardedQCDecoder(
+                dec.base_edges, dec.z, mesh, dtype=np.dtype(args.dtype),
+                check_rule=args.check_rule, check_phi=args.check_phi,
+                **ms_kw,
+            )
+        else:
+            dec = ShardedDecoder(
+                vid, cid, mesh, dtype=np.dtype(args.dtype),
+                check_rule=args.check_rule, check_phi=args.check_phi,
+                **ms_kw,
+            )
     mat = Matrix(vid, cid)
     pa = PAMAlphabet(args.bps, 2)
 

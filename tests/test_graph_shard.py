@@ -96,6 +96,104 @@ def test_sharded_engine_sweep_matches_unsharded():
     assert r_sh.iters == r_ref.iters
 
 
+@pytest.mark.parametrize("variant", [
+    dict(check_rule="minsum", minsum_alpha=1.0, minsum_beta=0.3),
+    dict(check_rule="minsum"),                   # normalized default
+    dict(check_phi="tanhfb"),                    # tanh-F/B sum-product
+])
+def test_sharded_rule_variants_match_single_device(variant):
+    """VERDICT r3 item 6: --minsum-alpha/--minsum-beta (and check_phi) must
+    reach the sharded check update — sharded min-sum/tanh-F/B results match
+    the single-device decoder with the SAME knobs exactly (min-sum is pure
+    select arithmetic; tanhfb to float tolerance)."""
+    vid, cid = make_regular_ldpc(240, 3, 6, seed=31)
+    mesh = make_mesh(8, axis_name="gs")
+    dec = Decoder(vid, cid, dtype=jnp.float64, **variant)
+    sdec = ShardedDecoder(vid, cid, mesh, dtype=jnp.float64, **variant)
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(17)
+    B, V = 5, dec.vnum
+    word = rng.integers(0, 2, (B, V))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 2.0, (B, V))
+    s1, i1, f1 = dec.decode_batch(llr, synd, 25)
+    s2, i2, f2 = sdec.decode_batch(llr, synd, 25)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=1e-9,
+                               atol=1e-9)
+    assert int(np.asarray(s1).sum()) > 0
+
+
+@pytest.mark.parametrize("irregular", [False, True])
+def test_sharded_qc_matches_single_device(irregular):
+    """z-sharded QC decoder (rolls over ICI): BIT-exact vs the single-device
+    QCDecoder — sharding annotations change placement, not arithmetic.
+    Covers regular and irregular (QC-IRA) codes."""
+    from qamreconciliation_tpu.models.qc_decoder import (
+        QCDecoder, make_qc_ira, make_qc_ldpc,
+    )
+    from qamreconciliation_tpu.parallel.graph_shard import ShardedQCDecoder
+
+    z = 16  # divisible by the 8-way mesh
+    if irregular:
+        base, vid, cid = make_qc_ira(nb_info=8, nb_acc=4, z=z, dv=3, seed=2)
+    else:
+        base, vid, cid = make_qc_ldpc(nb_v=12, z=z, dv=3, dc=6, seed=4)
+    mesh = make_mesh(8, axis_name="gs")
+    dec = QCDecoder(base, z, dtype=jnp.float32, use_pallas=False)
+    sdec = ShardedQCDecoder(base, z, mesh, dtype=jnp.float32)
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(23)
+    B, V = 6, dec.vnum
+    word = rng.integers(0, 2, (B, V))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 2.0, (B, V))
+    s1, i1, f1 = dec.decode_batch(llr, synd, 30)
+    s2, i2, f2 = sdec.decode_batch(llr, synd, 30)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert int(np.asarray(s1).sum()) > 0
+
+
+def test_sharded_qc_rejects_bad_configs():
+    from qamreconciliation_tpu.models.qc_decoder import make_qc_ldpc
+    from qamreconciliation_tpu.parallel.graph_shard import ShardedQCDecoder
+
+    base, _, _ = make_qc_ldpc(nb_v=12, z=12, dv=3, dc=6, seed=4)
+    mesh = make_mesh(8, axis_name="gs")
+    with pytest.raises(ValueError):   # z % n_dev != 0
+        ShardedQCDecoder(base, 12, mesh)
+    base16, _, _ = make_qc_ldpc(nb_v=12, z=16, dv=3, dc=6, seed=4)
+    for bad in (dict(resident=True), dict(schedule="layered"),
+                dict(use_pallas=True), dict(compressed=True,
+                                            check_rule="minsum")):
+        with pytest.raises(ValueError):
+            ShardedQCDecoder(base16, 16, mesh, **bad)
+
+
+def test_sharded_qc_cli_sweep(tmp_path):
+    """--graph-shard + --qc on the real CLI (z-sharded roll decoder)."""
+    from qamreconciliation_tpu.models.qc_decoder import (
+        make_qc_ldpc, save_qc_csv,
+    )
+    from qamreconciliation_tpu.sims import sim_reconciliation
+
+    base, vid, cid = make_qc_ldpc(nb_v=12, z=16, dv=3, dc=6, seed=4)
+    path = str(tmp_path / "qc.csv")
+    save_qc_csv(path, base, 16)
+    out = str(tmp_path / "gsqc.csv")
+    df = sim_reconciliation.main([
+        path, "--qc", "--out", out, "--maxiter", "10", "--simloops", "32",
+        "--snr", "6", "6", "--nsnr", "1", "--batch", "16",
+        "--graph-shard", "--devices", "8", "--check-rule", "minsum",
+        "--minsum-alpha", "1.0", "--minsum-beta", "0.25",
+    ])
+    assert len(df) == 1
+    assert list(df.columns) == ["EsN0dB", "ber", "fer", "iters"]
+
+
 def test_sharded_cli_sweep(tmp_path):
     """--graph-shard on the real CLI, 8-way virtual mesh."""
     from qamreconciliation_tpu.sims import sim_reconciliation
