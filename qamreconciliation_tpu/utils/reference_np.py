@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.special import erf, logsumexp
 
-__all__ = ["softening_frames_np"]
+__all__ = ["softening_frames_np", "softening_chain_np"]
 
 
 def _f_y(nm, y):
@@ -39,13 +39,24 @@ def softening_frames_np(nm, alphabet, n_frames: int, n_symb: int, seed: int = 0)
     M = nm.order
     c = t["constellation"]
     p = t["probabilities"]
+    x = rng.choice(M, size=(n_frames, n_symb), p=p)
+    y = c[x] + nm.noise_sigma * rng.standard_normal((n_frames, n_symb))
+    return softening_chain_np(nm, alphabet, x, y)
+
+
+def softening_chain_np(nm, alphabet, x, y):
+    """The softening chain on GIVEN samples ``x`` [F, S] int, ``y`` [F, S]
+    float64 (same math as :func:`softening_frames_np`; split out so golden
+    tests can drive every oracle on identical hand-picked inputs)."""
+    t = nm.np_tables
+    M = nm.order
+    c = t["constellation"]
+    p = t["probabilities"]
     thr_int = t["thresholds"][1:M]
     F_thr = t["F_Y_thresholds"]
     dF = t["delta_F_Y"]
     signs = nm.sign_config.astype(bool)
-
-    x = rng.choice(M, size=(n_frames, n_symb), p=p)
-    y = c[x] + nm.noise_sigma * rng.standard_normal((n_frames, n_symb))
+    n_frames = x.shape[0]
 
     # Bob: hard decision + softening metric n = g(y, x_hat)
     x_hat = np.searchsorted(thr_int, y, side="right")
