@@ -66,7 +66,10 @@ class StreamReconciler:
         fed in chunks smaller than ``batch * N_symb`` symbols (a padded
         partial block costs the whole batch's device work: measured 27x
         waste at 2.3-frame chunks into a 64-frame batch).  Outputs are
-        delayed until batches fill; drain tails with ``bob_flush()`` /
+        delayed until batches fill PLUS one batch of dispatch pipelining
+        (each side keeps its newest batch in flight and harvests it on
+        the next call, overlapping Bob's upload/compute with Alice's
+        decode over the tunnel); drain tails with ``bob_flush()`` /
         ``alice_flush()``.  Default False (emit-immediately semantics).
     """
 
@@ -113,6 +116,18 @@ class StreamReconciler:
         # arrive later (the queue front would desync from _aq_words)
         self._aq_words_mode = None
         self.decode_dispatches = 0  # device decode calls (waste accounting)
+        # Cross-call dispatch pipeline (defer mode only): the LAST batch of
+        # each _run call stays in flight — (device outputs, accounting) —
+        # and is harvested by the NEXT call (or the flush), so Bob's
+        # upload/compute for batch r+1 overlaps Alice's decode of batch r
+        # over the tunnel.  In defer mode every call carries exactly one
+        # batch, so a within-call double buffer alone never forms a
+        # pipeline (measured round 4).  Outputs shift one batch later —
+        # consistent with defer's documented delayed-output contract;
+        # emit-immediately mode (defer=False) keeps its synchronous
+        # return and only double-buffers within a call.
+        self._bob_pending = None
+        self._alice_pending = None
         if llr_mode == "table":
             # build before any jit flattens the mapper: the lazy LLR table
             # changes the pytree structure when materialized
@@ -144,30 +159,31 @@ class StreamReconciler:
             P = (self._bob_q.shape[0] // self.batch) * self.batch
             yf = self._bob_q[:P]
             self._bob_q = self._bob_q[P:]
-        if yf.shape[0] == 0:
+        if yf.shape[0] == 0 and self._bob_pending is None:
             return (
                 np.empty((0, self.N), np.uint8),
                 np.empty((0, self.mat.cnum), np.uint8),
                 np.empty((0, self.N_symb)),
             )
-        return self._bob_run(yf)
+        return self._bob_run(yf, leave_pending=self.defer)
 
     def bob_flush(self):
-        """Drain Bob's deferred frame queue (padded tail batch, once).
+        """Drain Bob's deferred frame queue (padded tail batch, once) and
+        any in-flight pipelined batch.
 
         Returns the same triple as :meth:`bob_process`.  No-op (empty
-        arrays) when nothing is queued or ``defer`` is off."""
+        arrays) when nothing is queued or in flight."""
         yf = self._bob_q
         self._bob_q = np.empty((0, self.N_symb), np.float64)
-        if yf.shape[0] == 0:
+        if yf.shape[0] == 0 and self._bob_pending is None:
             return (
                 np.empty((0, self.N), np.uint8),
                 np.empty((0, self.mat.cnum), np.uint8),
                 np.empty((0, self.N_symb)),
             )
-        return self._bob_run(yf)
+        return self._bob_run(yf, leave_pending=False)
 
-    def _bob_run(self, yf):
+    def _bob_run(self, yf, leave_pending=False):
         """Batch-blocked device processing of complete frames [F, N_symb]."""
         F = yf.shape[0]
         if self._bob_jit is None:
@@ -182,6 +198,21 @@ class StreamReconciler:
             self._bob_jit = jax.jit(bob_round)
 
         words_l, synd_l, nhat_l = [], [], []
+
+        def harvest(pend):
+            (w, s, nh), take = pend
+            # device->host reads: the only sync points in the pipeline
+            words_l.append(np.asarray(w, np.uint8)[:take])
+            synd_l.append(np.asarray(s, np.uint8)[:take])
+            nhat_l.append(np.asarray(nh)[:take])
+
+        # double-buffered: dispatch block r+1 BEFORE reading block r's
+        # outputs, so upload/compute overlap the previous readback (the
+        # engine's own trick, sims/engine.py:392-409 — jax dispatch is
+        # async; only np.asarray blocks).  Measured round-3 residual:
+        # the serialized form ran the tunnel at ~1% of the on-device
+        # symbol rate.  The pending slot persists ACROSS calls in defer
+        # mode (leave_pending=True; see __init__).
         for lo in range(0, F, self.batch):
             hi = min(lo + self.batch, F)
             take = hi - lo
@@ -189,12 +220,21 @@ class StreamReconciler:
             pad = self.batch - take
             if pad:
                 blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)])
-            w, s, nh = self._bob_jit(
+            out = self._bob_jit(
                 self.nm, jnp.asarray(blk, self.nm.dtype)
             )
-            words_l.append(np.asarray(w, np.uint8)[:take])
-            synd_l.append(np.asarray(s, np.uint8)[:take])
-            nhat_l.append(np.asarray(nh)[:take])
+            if self._bob_pending is not None:
+                harvest(self._bob_pending)
+            self._bob_pending = (out, take)
+        if not leave_pending and self._bob_pending is not None:
+            harvest(self._bob_pending)
+            self._bob_pending = None
+        if not words_l:
+            return (
+                np.empty((0, self.N), np.uint8),
+                np.empty((0, self.mat.cnum), np.uint8),
+                np.empty((0, self.N_symb)),
+            )
         return (
             np.concatenate(words_l, axis=0),
             np.concatenate(synd_l, axis=0),
@@ -265,7 +305,7 @@ class StreamReconciler:
             if self._aq_words is not None:
                 self._aq_words = self._aq_words[P:]
             return self._alice_run(n_hat, xf, synd, max_iterations,
-                                   bob_words)
+                                   bob_words, leave_pending=True)
         if F == 0:
             return StreamResult()
         n_hat = np.asarray(n_hat)[:F]
@@ -273,13 +313,14 @@ class StreamReconciler:
         return self._alice_run(n_hat, xf, synd, max_iterations, bob_words)
 
     def alice_flush(self, max_iterations: int = 50):
-        """Drain Alice's deferred queues (padded tail batch, once).
+        """Drain Alice's deferred queues (padded tail batch, once) and any
+        in-flight pipelined batch.
 
         Decodes whatever aligned frames remain queued; returns a
-        StreamResult.  No-op when nothing is queued or ``defer`` is off."""
+        StreamResult.  No-op when nothing is queued or in flight."""
         avail = min(self._aq_x.shape[0], self._aq_nhat.shape[0],
                     self._aq_synd.shape[0])
-        if avail == 0:
+        if avail == 0 and self._alice_pending is None:
             return StreamResult()
         xf = self._aq_x[:avail]
         n_hat = self._aq_nhat[:avail]
@@ -294,7 +335,8 @@ class StreamReconciler:
             self._aq_words = self._aq_words[avail:]
         return self._alice_run(n_hat, xf, synd, max_iterations, bob_words)
 
-    def _alice_run(self, n_hat, xf, synd, max_iterations, bob_words):
+    def _alice_run(self, n_hat, xf, synd, max_iterations, bob_words,
+                   leave_pending=False):
         """Batch-blocked LLR+decode of aligned frames [F, ...]."""
         F = xf.shape[0]
         res = StreamResult()
@@ -313,6 +355,25 @@ class StreamReconciler:
 
             self._alice_jit = jax.jit(alice_round)
 
+        def harvest(pend):
+            (success, iters, total), words_slice, take = pend
+            # device->host reads: the only sync points in the pipeline
+            words = (np.asarray(total).T < 0).astype(np.uint8)[:take]
+            if words_slice is not None:
+                res.bit_errors += int(np.sum(words != words_slice))
+            res.frames += take
+            res.decoded_words.extend(list(words))
+            res.success.extend(bool(s) for s in np.asarray(success)[:take])
+            res.iterations.extend(int(i) for i in np.asarray(iters)[:take])
+
+        # double-buffered like _bob_run: dispatch block r+1 before reading
+        # block r, overlapping the uint8/bf16 uploads and the decode with
+        # the previous block's readback over the tunnel.  The pending slot
+        # persists ACROSS calls in defer mode (leave_pending=True) — each
+        # deferred call carries exactly one batch, so only a cross-call
+        # pipeline overlaps Bob's batch r+1 with Alice's batch r.  The
+        # pending tuple is self-contained (snapshots its bob_words slice);
+        # its frames are reported in whichever call harvests them.
         for lo in range(0, F, self.batch):
             hi = min(lo + self.batch, F)
             take = hi - lo
@@ -329,20 +390,21 @@ class StreamReconciler:
             # symbol indices at the smallest sufficient width (uint8 for
             # any real alphabet) instead of int64 — 8x less upload
             idx_dt = np.uint8 if self.pa.order <= 256 else np.int32
-            success, iters, total = self._alice_jit(
+            out = self._alice_jit(
                 self.nm,
                 jnp.asarray(nh, self.nm.dtype),
                 jnp.asarray(xs.astype(idx_dt)),
                 jnp.asarray(sd),
                 jnp.int32(max_iterations),
             )
-            words = (np.asarray(total).T < 0).astype(np.uint8)[:take]
-            if bob_words is not None:
-                res.bit_errors += int(
-                    np.sum(words != np.asarray(bob_words)[lo:hi])
-                )
-            res.frames += take
-            res.decoded_words.extend(list(words))
-            res.success.extend(bool(s) for s in np.asarray(success)[:take])
-            res.iterations.extend(int(i) for i in np.asarray(iters)[:take])
+            ws = (
+                np.asarray(bob_words, np.uint8)[lo:hi]
+                if bob_words is not None else None
+            )
+            if self._alice_pending is not None:
+                harvest(self._alice_pending)
+            self._alice_pending = (out, ws, take)
+        if not leave_pending and self._alice_pending is not None:
+            harvest(self._alice_pending)
+            self._alice_pending = None
         return res
