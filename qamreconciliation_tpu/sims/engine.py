@@ -38,7 +38,7 @@ from ..models.alphabet import PAMAlphabet
 from ..models.decoder import Decoder
 from ..models.matrix import Matrix
 from ..models.noisemapper import NoiseMapper
-from ..ops.llr import y_to_lappr_gray
+from ..ops.llr import y_to_lappr_gray_bits
 from ..utils.scalar import count_errors_from_lappr
 
 __all__ = [
@@ -130,6 +130,7 @@ class ReconciliationEngine:
         llr_mode: str = "poly",
         mesh_axis=None,
         rounds_per_dispatch: int = 1,
+        fy_mode: str = "erf",
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
             raise ValueError(
@@ -142,6 +143,12 @@ class ReconciliationEngine:
         self.batch = int(batch)
         self.dtype = jnp.dtype(dtype)
         self.llr_mode = llr_mode
+        # marginal-CDF implementation for the softening preamble's
+        # map_noise (see NoiseMapper fy_mode): "erf" exact mixture
+        # broadcast, "erf_flat" lane-flat static-float unroll, "poly"
+        # probit-warped Chebyshev fit (the M=16 erf mixture was the
+        # measured bps=4 preamble residual, BASELINE.md)
+        self.fy_mode = fy_mode
         self.mesh_axis = mesh_axis
         self.rounds_per_dispatch = int(rounds_per_dispatch)
         self.N = mat.vnum
@@ -232,11 +239,11 @@ class ReconciliationEngine:
         point of an SNR sweep.  This matters doubly on remote-compile TPU
         backends where each new program costs seconds to minutes.
 
-        The softening/table and hard modes run layout-native ([S, B] samples,
-        [N, B] bits — measured +50% round throughput at N=64800 vs the
-        transposing [B, N] formulation); interp/search softening and direct
-        mode keep the [B, N] formulation (their per-sample LLR builders speak
-        the reference's sample-major layout).
+        The softening/table, hard, and direct modes run layout-native
+        ([S, B] samples, [N, B] bits — measured +50% round throughput at
+        N=64800 vs the transposing [B, N] formulation); interp/search
+        softening keeps the [B, N] formulation (their per-sample LLR
+        builders speak the reference's sample-major layout).
         """
         pa, B = self.pa, self.batch
         dtype = self.dtype
@@ -288,6 +295,26 @@ class ReconciliationEngine:
 
             return round_fn
 
+        if mode == "direct":
+            # layout-native [S, B] direct reconciliation (VERDICT r3 item
+            # 7): lane-flat per-bit Gray LLRs + the [N, B] round the other
+            # fast modes use (measured +50% round throughput at N=64800
+            # over the transposing [B, N] formulation)
+            def round_fn(key, max_iterations, nm, sigma, alpha):
+                x, y = sample_sb(key, sigma)
+                s2b_dev = jnp.asarray(s2b)
+                word = self._bits_nb(
+                    lambda b, idx: s2b_dev[:, b][idx], x
+                )
+                two_var = 2.0 * sigma.astype(dtype) ** 2
+                llr_bits = y_to_lappr_gray_bits(
+                    y, pa.constellation, two_var, dtype
+                )
+                lappr = self._bits_nb(lambda b, _: llr_bits[b], x)
+                return self._decode_and_count_nb(lappr, word, max_iterations)
+
+            return round_fn
+
         def round_fn(key, max_iterations, nm, sigma, alpha):
             kx, kn = jax.random.split(key)
             x = pa.random_symbols(kx, (B, self.N_symb))
@@ -301,10 +328,6 @@ class ReconciliationEngine:
                 lappr = alpha.astype(dtype) * nm.demap_lappr_array(
                     n_hat, x, mode=self.llr_mode
                 )
-            elif mode == "direct":
-                two_var = 2.0 * sigma.astype(dtype) ** 2
-                word = pa.demap_symbols_to_bits(x)
-                lappr = y_to_lappr_gray(y, pa.constellation, two_var, dtype)
             else:
                 raise ValueError(mode)
             return self._decode_and_count(lappr, word, max_iterations)
@@ -348,11 +371,14 @@ class ReconciliationEngine:
         nm = None
         if mode in ("softening", "hard"):
             cfg = nmconfig if mode == "softening" else None
-            nm = NoiseMapper(self.pa, N0, cfg, dtype=self.dtype)
+            nm = NoiseMapper(self.pa, N0, cfg, dtype=self.dtype,
+                             fy_mode=self.fy_mode)
             if mode == "softening" and self.llr_mode == "table":
                 nm._ensure_llr_tab()   # before flatten: table-mode consumer
             elif mode == "softening" and self.llr_mode == "poly":
                 nm._ensure_llr_poly()
+            if mode == "softening" and self.fy_mode == "poly":
+                nm._ensure_fy_poly()   # before flatten (lazy leaf)
 
         round_fn = self._round_cache.get(mode)
         if round_fn is None:
@@ -465,7 +491,8 @@ class ReconciliationEngine:
         if mode in ("softening", "hard"):
             cfg = nmconfig if mode == "softening" else None
             nms = [
-                NoiseMapper(self.pa, n0, cfg, dtype=self.dtype) for n0 in N0s
+                NoiseMapper(self.pa, n0, cfg, dtype=self.dtype,
+                            fy_mode=self.fy_mode) for n0 in N0s
             ]
             if mode == "softening" and self.llr_mode == "table":
                 for m in nms:
@@ -473,6 +500,9 @@ class ReconciliationEngine:
             elif mode == "softening" and self.llr_mode == "poly":
                 for m in nms:
                     m._ensure_llr_poly()
+            if mode == "softening" and self.fy_mode == "poly":
+                for m in nms:
+                    m._ensure_fy_poly()   # before stacking (lazy leaf)
             nm_stack = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs), *nms
             )
