@@ -85,6 +85,13 @@ _POLY_D = 1e-4
 # intermediate hung the remote compiler), while Clenshaw over a [deg+1]
 # coefficient leaf via lax.scan is pure elementwise FMA flow.
 _GINV_DEG = 96
+# gather-free F_Y ("poly" fy_mode): ONE global Chebyshev fit of the probit-
+# warped marginal CDF h(y) = ndtri(F_Y(y)) — exactly linear for a single
+# Gaussian, smooth for the heavily-overlapped mixtures of real operating
+# SNRs (bps=4 waterfall: sigma > step).  Replaces the M-component erf
+# mixture of the softening preamble (the measured bps=4 residual,
+# BASELINE.md) with one Clenshaw chain + one erf per sample.
+_FY_DEG = 64
 
 
 class NoiseMapper:
@@ -104,11 +111,21 @@ class NoiseMapper:
         dtype=DEFAULT_DTYPE,
         ref_compat_fy_grid: bool = False,
         device: bool = True,
+        fy_mode: str = "erf",
     ):
         if noise_var <= 0:
             raise ValueError(
                 f"noise variance must be strictly positive, got {noise_var}"
             )
+        if fy_mode not in ("erf", "erf_flat", "poly"):
+            raise ValueError(f"unknown fy_mode {fy_mode!r}")
+        # marginal-CDF implementation used by g/map_noise (the softening
+        # preamble's hot op): "erf" = the exact [.., M] mixture broadcast,
+        # "erf_flat" = the same M erfs unrolled over STATIC host floats
+        # (lane-flat [S, B] slabs, no trailing M axis), "poly" = the
+        # probit-warped global Chebyshev fit (_ensure_fy_poly; ~1 erf +
+        # one Clenshaw chain per sample)
+        self.fy_mode = fy_mode
         M = pa.order
         if sign_config is None:
             self.sign_config = np.zeros(M, dtype=np.uint8)
@@ -243,6 +260,12 @@ class NoiseMapper:
         # Alphabet decision thresholds as a hashable host tuple
         # (SNR-independent -> safe as jit static data).
         self._thr_tuple = tuple(float(t) for t in thr[1:-1])
+        # Constellation/priors as static host tuples for the lane-flat F_Y
+        # unroll: per-component DEVICE-leaf reads in an unrolled loop are a
+        # measured compile pathology on this backend, but static Python
+        # floats bake as constants (the hard_decide_index _thr_tuple trick).
+        self._c_tuple = tuple(float(v) for v in c)
+        self._p_tuple = tuple(float(v) for v in p)
 
         # --- tabulated softening LLRs (lazy) ------------------------------- #
         # For fixed tables the Formulation-2 LLR is a smooth function of ONLY
@@ -265,6 +288,11 @@ class NoiseMapper:
         # gather-free inverse-CDF coefficients (lazy, sign-INDEPENDENT —
         # with_sign_config clones share them; see _ensure_ginv_poly)
         self._ginv_poly = None
+        # gather-free marginal-CDF fit (lazy, sign-independent, see
+        # _ensure_fy_poly; _fy_dom = [y_lo, y_hi] device scalars — the fit
+        # domain is SNR-dependent, so it must ride as a LEAF, never aux)
+        self._fy_poly = None
+        self._fy_dom = None
 
     def with_sign_config(self, sign_config) -> "NoiseMapper":
         """Cheap variant of this mapper with a different sign configuration.
@@ -560,16 +588,128 @@ class NoiseMapper:
         uniformly (reference: noisemapper.pyx:264-275); for shaped alphabets
         that is inconsistent with ``_single_F_Y``.  Here both agree.
 
-        Kept in the trailing-axis broadcast form: an unrolled per-component
-        accumulation was measured strictly worse on the remote-compile TPU
-        backend (66-122s compiles, same ~27ms runtime) because per-component
-        scalar reads from device leaf arrays generate pathological code.
+        Dispatches on the constructor's ``fy_mode``: "erf" (exact
+        trailing-axis mixture broadcast, default), "erf_flat" (the same M
+        erfs unrolled over static host floats — no trailing M axis; an
+        earlier unroll that read per-component values from DEVICE leaves
+        was a measured compile pathology, 66-122s), "poly" (probit-warped
+        global Chebyshev fit, see :meth:`F_Y_poly`).
         """
+        if self.fy_mode == "poly":
+            return self.F_Y_poly(y)
+        if self.fy_mode == "erf_flat":
+            return self.F_Y_flat(y)
         y = jnp.asarray(y, self.dtype)
         z = (y[..., None] - self._c) / (np.sqrt(2.0) * self._sigma_dev)
         return jnp.sum(self._p * 0.5 * (1.0 + jerf(z)), axis=-1)
 
     single_F_Y = F_Y  # probability-weighted scalar CDF, same math
+
+    def F_Y_flat(self, y):
+        """Exact marginal CDF, lane-flat: the M-component mixture unrolled
+        over STATIC host floats (``_c_tuple``/``_p_tuple`` aux) so every
+        live array keeps the sample shape — no trailing M axis (which pads
+        M up to the 128-lane tile: 8x waste at M=16), no device-leaf
+        indexing inside the unroll.  Same math as :meth:`F_Y` to float
+        round-off (summation order differs)."""
+        y = jnp.asarray(y, self.dtype)
+        inv = (1.0 / (np.sqrt(2.0) * self._sigma_dev)).astype(self.dtype)
+        acc = None
+        for ck, pk in zip(self._c_tuple, self._p_tuple):
+            t = (0.5 * pk) * (1.0 + jerf((y - ck) * inv))
+            acc = t if acc is None else acc + t
+        return acc.astype(self.dtype)
+
+    def _ensure_fy_poly(self):
+        """Host build of the gather-free marginal-CDF fit.
+
+        Fits ONE global degree-``_FY_DEG`` Chebyshev series to the
+        probit-warped CDF ``h(y) = ndtri(F_Y(y))`` over
+        ``y in [c_0 - 8.5 sigma, c_{M-1} + 8.5 sigma]`` — h is exactly
+        linear for a single Gaussian and stays smooth while the mixture
+        components overlap (the regime softening actually operates in:
+        at the bps=4 waterfall sigma exceeds the constellation step).
+        Evaluation is one Clenshaw chain + one erf per sample instead of
+        the M-erf mixture (the measured bps=4 softening-preamble
+        residual).  The fit error ON THE CDF SCALE is kept in
+        ``_fy_poly_fit_err``; a warning points back to fy_mode="erf"
+        when it exceeds 1e-4 (well-separated high-SNR plateaus).
+
+        Sign-independent (like ``_ginv_poly``): with_sign_config clones
+        share the coefficients by reference.
+        """
+        if self._fy_poly is not None and self._fy_poly.size:
+            return
+        if not hasattr(self, "np_tables"):
+            raise RuntimeError(
+                "fy_mode='poly' reached a traced NoiseMapper whose "
+                "coefficients were never built — call nm._ensure_fy_poly() "
+                "on the original object before passing it through jit"
+            )
+        from scipy.special import ndtr, ndtri
+
+        deg = _FY_DEG
+        c = self.np_tables["constellation"]
+        p = self.np_tables["probabilities"]
+        s = self.noise_sigma
+        # 6.5-sigma domain + 1e-10 clip: wide enough that beyond-domain
+        # samples carry ~1e-10 of probability mass, narrow enough that the
+        # ndtri clip never kinks h inside the fit window (a clip-induced
+        # flat segment rings the Chebyshev fit — measured non-monotonic
+        # error vs degree with an 8.5-sigma/1e-16 window)
+        y_lo = float(c[0] - 6.5 * s)
+        y_hi = float(c[-1] + 6.5 * s)
+        nn = 4 * (deg + 1)
+        xs = np.cos(np.pi * np.arange(nn) / (nn - 1))[::-1]     # [-1, 1]
+        yn = y_lo + (xs + 1.0) / 2.0 * (y_hi - y_lo)
+        F = np.zeros_like(yn)
+        for ck, pk in zip(c, p):
+            F += pk * _np_F_Z(yn, ck, s)
+        h = ndtri(np.clip(F, 1e-10, 1.0 - 1e-10))
+        C = np.polynomial.chebyshev.chebfit(xs, h, deg)
+        fit_err = float(
+            np.abs(ndtr(np.polynomial.chebyshev.chebval(xs, C)) - F).max()
+        )
+        self._fy_poly_fit_err = fit_err
+        if fit_err > 5e-4:
+            import warnings
+
+            warnings.warn(
+                f"gather-free F_Y fit residual {fit_err:.3g} on the CDF "
+                "scale is large for this (alphabet, N0) — well-separated "
+                "mixture components at high SNR; prefer fy_mode='erf'",
+                stacklevel=2,
+            )
+        pdt = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
+        A = jnp.asarray if isinstance(
+            self._sigma_dev, jax.Array
+        ) else np.asarray
+        self._fy_poly = A(C, pdt)
+        self._fy_dom = A(np.asarray([y_lo, y_hi]), pdt)
+
+    def F_Y_poly(self, y):
+        """Approximate marginal CDF via the probit-warped global Chebyshev
+        fit (see :meth:`_ensure_fy_poly`): Clenshaw over the coefficient
+        leaf via ``lax.scan`` + one erf, all lane-flat."""
+        if self._fy_poly is None or not self._fy_poly.size:
+            self._ensure_fy_poly()
+        deg = _FY_DEG
+        compute = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
+        y = jnp.asarray(y, compute)
+        lo = self._fy_dom[0].astype(compute)
+        hi = self._fy_dom[1].astype(compute)
+        x = jnp.clip(2.0 * (y - lo) / (hi - lo) - 1.0, -1.0, 1.0)
+        c_rev = jnp.flip(self._fy_poly.astype(compute))
+
+        def step(carry, ck):
+            b1, b2 = carry
+            return (2.0 * x * b1 - b2 + ck, b1), None
+
+        zero = jnp.zeros_like(x)
+        (b1, b2), _ = jax.lax.scan(step, (zero, zero), c_rev[:deg])
+        h = x * b1 - b2 + c_rev[deg]
+        F = 0.5 * (1.0 + jerf(h * np.float64(1.0 / np.sqrt(2.0))))
+        return F.astype(self.dtype)
 
     # ------------------------------------------------------------------ #
 
@@ -1016,11 +1156,11 @@ _NM_LEAVES = (
     "_F_thr", "_delta_F_Y", "_fwd", "_back", "_bare_llr", "_inf_erf",
     "_c", "_thr_interior", "_p", "_log_p", "_sign_cfg", "_bits_mask",
     "_y_of_u", "_sigma_dev", "_noise_var_dev", "_llr_tab", "_llr_poly",
-    "_ginv_poly",
+    "_ginv_poly", "_fy_poly", "_fy_dom",
 )
 _NM_AUX = (
     "order", "half_order", "bit_per_symbol", "_inv_K", "_llr_K",
-    "_thr_tuple", "dtype",
+    "_thr_tuple", "dtype", "fy_mode", "_c_tuple", "_p_tuple",
 )
 
 
@@ -1033,7 +1173,9 @@ def _nm_flatten(nm):
     leaves = []
     for k in _NM_LEAVES:
         v = getattr(nm, k)
-        if k in ("_llr_tab", "_llr_poly", "_ginv_poly") and v is None:
+        if k in (
+            "_llr_tab", "_llr_poly", "_ginv_poly", "_fy_poly", "_fy_dom"
+        ) and v is None:
             v = jnp.zeros((0,), nm.dtype)
         leaves.append(v)
     return tuple(leaves), tuple(getattr(nm, k) for k in _NM_AUX)

@@ -46,6 +46,15 @@ def add_engine_args(parser: argparse.ArgumentParser):
         "inverse), 'search' (exact Newton inverse).  Overrides --llr-exact.",
     )
     parser.add_argument(
+        "--fy-mode", choices=["erf", "erf_flat", "poly"], default="erf",
+        help="Marginal-CDF implementation for the softening metric "
+        "(map_noise): 'erf' (exact [.., M] mixture broadcast, default), "
+        "'erf_flat' (the same M erfs unrolled lane-flat over static "
+        "floats — no trailing M axis), 'poly' (probit-warped global "
+        "Chebyshev fit: ~1 erf + one Clenshaw chain per sample; CDF fit "
+        "error <~1e-4 at operating SNRs, see NoiseMapper._ensure_fy_poly)",
+    )
+    parser.add_argument(
         "--check-rule", choices=["sumproduct", "minsum"],
         default="sumproduct",
         help="Check-node update rule: 'sumproduct' (exact phi form, the "
@@ -96,6 +105,7 @@ def engine_kwargs(args):
         dtype=jnp.dtype(args.dtype),
         llr_mode=llr_mode,
         rounds_per_dispatch=getattr(args, "rounds_per_dispatch", 1),
+        fy_mode=getattr(args, "fy_mode", "erf"),
     )
     if args.devices > 1:
         from ..parallel import make_mesh
@@ -141,6 +151,16 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "--maxiter)",
     )
     parser.add_argument(
+        "--totals-dtype", choices=["storage", "float32"], default="storage",
+        help="QC decoders: dtype of the running LLR totals. 'storage' "
+        "keeps them in --dtype; 'float32' runs the f32-totals/"
+        "storage-width-messages hybrid (+21%% resident per-iteration "
+        "cost).  Measured at the DVB-S2 knee: quality-NEUTRAL at bf16 "
+        "(FER 0.583 vs 0.581 at 3.5 dB — the bf16 knee cost lives in "
+        "the c2v MESSAGE rounding, not the totals); use --dtype float32 "
+        "when the ~0.05 dB matters",
+    )
+    parser.add_argument(
         "--lift-qc", action="store_true",
         help="Detect circulant (quasi-cyclic) structure in an EXPANDED "
         "edge-list CSV — the format real standards like DVB-S2/5G ship in — "
@@ -164,6 +184,7 @@ def load_decoder(args):
     resident = getattr(args, "resident", False)
     resident_chunk = getattr(args, "resident_chunk", 16)
     check_phi = getattr(args, "check_phi", "phi")
+    totals_dtype = getattr(args, "totals_dtype", "storage")
     ms_kw = dict(minsum_alpha=getattr(args, "minsum_alpha", None),
                  minsum_beta=getattr(args, "minsum_beta", 0.0))
     if getattr(args, "qc", False):
@@ -174,7 +195,8 @@ def load_decoder(args):
                         check_rule=args.check_rule, schedule=schedule,
                         layered_chunk=chunk, resident=resident,
                         resident_chunk=resident_chunk,
-                        check_phi=check_phi, **ms_kw)
+                        check_phi=check_phi, totals_dtype=totals_dtype,
+                        **ms_kw)
         return dec, dec.graph.e_to_v, dec.graph.e_to_c
     from ..models.decoder import Decoder
     from ..utils.edgefile import load_edge_csv
@@ -195,7 +217,8 @@ def load_decoder(args):
                                 schedule=schedule, layered_chunk=chunk,
                                 resident=resident,
                                 resident_chunk=resident_chunk,
-                                check_phi=check_phi, **ms_kw)
+                                check_phi=check_phi,
+                                totals_dtype=totals_dtype, **ms_kw)
                 print(f"[lift-qc] detected z={z} circulant lifting "
                       f"({len(base_edges)} base edges)")
                 return dec, vid, cid

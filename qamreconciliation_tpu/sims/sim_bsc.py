@@ -46,6 +46,7 @@ def main(argv=None):
     mat = Matrix(vid, cid)
     kw = engine_kwargs(args)
     kw.pop("llr_mode", None)
+    kw.pop("fy_mode", None)
     eng = BitChannelEngine(dec, mat, **kw)
     state = SweepState(args.out, resume=args.resume)
 

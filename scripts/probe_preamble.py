@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--snr", type=float, default=None)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--fy-mode", default="erf",
+                    choices=["erf", "erf_flat", "poly"])
     args = ap.parse_args()
     snr = args.snr if args.snr is not None else (3.5 if args.bps == 2 else 10.0)
 
@@ -45,8 +47,10 @@ def main():
     Es = pa.variance
     N0 = Es * (10.0 ** (-snr / 10.0)) / 2.0
     sigma = math.sqrt(N0)
-    nm = NoiseMapper(pa, N0, dtype=dt)
+    nm = NoiseMapper(pa, N0, dtype=dt, fy_mode=args.fy_mode)
     nm._ensure_llr_poly()
+    if args.fy_mode == "poly":
+        nm._ensure_fy_poly()
     S = args.n // args.bps
     B = args.batch
     s2b = jnp.asarray(pa.s_to_b.astype(np.int32))
@@ -114,6 +118,7 @@ def main():
                 {
                     "stage": name,
                     "bps": bps,
+                    "fy_mode": args.fy_mode,
                     "ms": round(ms, 3),
                     "compile_s": round(compile_s, 1),
                 }

@@ -565,3 +565,57 @@ def test_sign_config_owns_its_array():
     cfg[:] = 0  # caller reuses its buffer
     np.testing.assert_array_equal(built.sign_config, [1, 0, 0, 1])
     np.testing.assert_array_equal(clone.sign_config, [1, 0, 0, 1])
+
+
+@pytest.mark.parametrize("bps,snr_dB", [(2, 4.0), (4, 12.0)])
+def test_fy_flat_matches_exact_mixture(bps, snr_dB):
+    """F_Y_flat (static-float lane-flat unroll) is the exact mixture to
+    float round-off, and map_noise under fy_mode='erf_flat' matches the
+    default to round-off."""
+    pa = PAMAlphabet(bps, 2)
+    Es = pa.variance
+    N0 = Es * (10.0 ** (-snr_dB / 10.0)) / 2.0
+    nm = NoiseMapper(pa, N0, dtype=np.float64)
+    nm_f = NoiseMapper(pa, N0, dtype=np.float64, fy_mode="erf_flat")
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(rng.normal(0.0, 3.0, (17, 9)), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(nm_f.F_Y_flat(y)), np.asarray(nm.F_Y(y)),
+        rtol=1e-13, atol=1e-13,
+    )
+    i = nm.hard_decide_index(y)
+    np.testing.assert_allclose(
+        np.asarray(nm_f.map_noise(y, i)), np.asarray(nm.map_noise(y, i)),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("bps,snr_dB", [(2, 4.0), (4, 12.0)])
+def test_fy_poly_fit_accuracy(bps, snr_dB):
+    """The probit-warped Chebyshev F_Y fit tracks the exact mixture on the
+    CDF scale well below the softening-LLR fit tolerance (2e-3), and the
+    softening metric n under fy_mode='poly' stays within 1e-4 of exact at
+    operating SNRs."""
+    pa = PAMAlphabet(bps, 2)
+    Es = pa.variance
+    N0 = Es * (10.0 ** (-snr_dB / 10.0)) / 2.0
+    nm = NoiseMapper(pa, N0, dtype=np.float64)
+    nm_p = NoiseMapper(pa, N0, dtype=np.float64, fy_mode="poly")
+    nm_p._ensure_fy_poly()
+    assert nm_p._fy_poly_fit_err < 1e-4
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, pa.order, (11, 13))
+    y = jnp.asarray(
+        np.asarray(pa.constellation)[x]
+        + np.sqrt(N0) * rng.standard_normal(x.shape),
+        jnp.float64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(nm_p.F_Y_poly(y)), np.asarray(nm.F_Y(y)),
+        rtol=0, atol=2e-4,
+    )
+    i = nm.hard_decide_index(y)
+    np.testing.assert_allclose(
+        np.asarray(nm_p.map_noise(y, i)), np.asarray(nm.map_noise(y, i)),
+        rtol=0, atol=2e-3,
+    )
