@@ -289,6 +289,49 @@ def main():
                 f"{extras['decode_frames_per_s']} fps, {gbps:.0f} GB/s "
                 f"({100 * gbps / HBM_GBPS:.0f}% of roofline)")
 
+    # ---- 1b. irregular-QC decode probe (VERDICT r4 item 2) ----------------
+    # Real standard codes (DVB-S2/5G) are IRREGULAR; record that the fast
+    # paths carry mixed check degrees at comparable throughput, same
+    # protocol as the regular probe.  QC-IRA construction: dc in {5, 6}.
+    if USE_QC and not SKIP_DECODE and SCHEDULE == "flooding":
+        from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
+
+        i_base, i_vid, i_cid = make_qc_ira(
+            nb_info=18, nb_acc=18, z=z, dv=3, seed=12345
+        )
+        idec = QCDecoder(i_base, z, dtype=dt, use_pallas=PALLAS,
+                         check_rule=CHECK_RULE, resident=bool(resident),
+                         resident_chunk=RESIDENT_CHUNK,
+                         totals_dtype=TOTALS)
+        rng = np.random.default_rng(0)
+        i_lappr = jnp.asarray(rng.normal(0, 3.0, (idec.vnum, BATCH)), dt)
+        i_synd = jnp.asarray(
+            rng.integers(0, 2, (idec.cnum, BATCH)), jnp.int32
+        )
+        fi = idec._build_decode()
+        t0 = time.perf_counter()
+        out = fi(i_lappr, i_synd, jnp.int32(MAX_ITER))
+        np.asarray(out[1])
+        log(f"irregular-QC decode compile+first: "
+            f"{time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fi(i_lappr, i_synd, jnp.int32(probe_iters))
+            np.asarray(out[1])
+        i_ms = (time.perf_counter() - t0) / reps / probe_iters * 1e3
+        dcs = sorted({sum(1 for c, _, _ in i_base if c == cbi)
+                      for cbi in range(18)})
+        extras["irregular_qc"] = {
+            "code": f"qc-ira dv=3 dc={dcs} z={z} N={idec.vnum}",
+            "decode_ms_per_iter": round(i_ms, 3),
+            "decode_frames_per_s": round(
+                BATCH / (i_ms * MAX_ITER) * 1e3, 1
+            ),
+            "resident": bool(resident),
+        }
+        log(f"irregular-QC decode: {i_ms:.3f} ms/iter")
+        del idec, fi, i_lappr, i_synd
+
     # ---- 2. headline end-to-end round (decode-bound regime) ---------------
     nmcfg = np.zeros(pa.order, np.uint8)
     kw = dict(nmconfig=nmcfg) if MODE == "softening" else {}

@@ -1,0 +1,50 @@
+"""DVB-S2-scale waterfall/knee runner for the real TPU (one CLI sweep).
+
+Generates the standard QC(3,6) N=64800 rate-1/2 benchmark code (same
+construction/seed as bench.py and scripts/probe_decode.py) into a temp CSV,
+then forwards every remaining flag to the sim_reconciliation CLI — the
+round-3/4 waterfall artifacts (docs/img/wf_*.csv) are produced this way so
+knee-FER comparisons share code, seeds, and protocol exactly.
+
+Usage (one TPU experiment at a time, under timeout, in background):
+    python scripts/run_waterfall.py OUT.CSV --snr 3.0 4.25 --nsnr 6 \
+        --simloops 1024 --batch 128 --maxiter 50 --resident \
+        --check-phi tanhfb --dtype bfloat16
+(--qc and --out are added automatically; --irregular swaps in the QC-IRA
+mixed-degree code from make_qc_ira at the same N.)
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv):
+    out = argv[0]
+    rest = list(argv[1:])
+    from qamreconciliation_tpu.models.qc_decoder import (
+        make_qc_ira, make_qc_ldpc, save_qc_csv,
+    )
+
+    z = 1800
+    if "--irregular" in rest:
+        rest.remove("--irregular")
+        # rate-1/2 IRA-like mixed-degree base (dc in {6, 7}), same N=64800
+        base, _, _ = make_qc_ira(nb_info=18, nb_acc=18, z=z, dv=3,
+                                 seed=12345)
+        name = "qc_ira_64800.csv"
+    else:
+        base, _, _ = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
+        name = "qc36_64800.csv"
+    code_csv = os.path.join(tempfile.gettempdir(), name)
+    save_qc_csv(code_csv, base, z)
+
+    from qamreconciliation_tpu.sims import sim_reconciliation as sr
+
+    sr.main([code_csv, "--qc", "--out", out] + rest)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
