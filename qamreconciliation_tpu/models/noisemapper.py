@@ -625,7 +625,7 @@ class NoiseMapper:
 
         Fits ONE global degree-``_FY_DEG`` Chebyshev series to the
         probit-warped CDF ``h(y) = ndtri(F_Y(y))`` over
-        ``y in [c_0 - 8.5 sigma, c_{M-1} + 8.5 sigma]`` — h is exactly
+        ``y in [c_0 - 6.5 sigma, c_{M-1} + 6.5 sigma]`` — h is exactly
         linear for a single Gaussian and stays smooth while the mixture
         components overlap (the regime softening actually operates in:
         at the bps=4 waterfall sigma exceeds the constellation step).
@@ -633,7 +633,7 @@ class NoiseMapper:
         the M-erf mixture (the measured bps=4 softening-preamble
         residual).  The fit error ON THE CDF SCALE is kept in
         ``_fy_poly_fit_err``; a warning points back to fy_mode="erf"
-        when it exceeds 1e-4 (well-separated high-SNR plateaus).
+        when it exceeds 5e-4 (well-separated high-SNR plateaus).
 
         Sign-independent (like ``_ginv_poly``): with_sign_config clones
         share the coefficients by reference.
@@ -654,9 +654,11 @@ class NoiseMapper:
         s = self.noise_sigma
         # 6.5-sigma domain + 1e-10 clip: wide enough that beyond-domain
         # samples carry ~1e-10 of probability mass, narrow enough that the
-        # ndtri clip never kinks h inside the fit window (a clip-induced
-        # flat segment rings the Chebyshev fit — measured non-monotonic
-        # error vs degree with an 8.5-sigma/1e-16 window)
+        # ndtri clip flattens h only in a thin sliver at the extreme edge
+        # nodes (a wide clip-induced flat segment rings the Chebyshev
+        # fit — measured non-monotonic error vs degree with an
+        # 8.5-sigma/1e-16 window; this pairing measured <1e-4 CDF error
+        # across bps 1-4 at operating SNRs)
         y_lo = float(c[0] - 6.5 * s)
         y_hi = float(c[-1] + 6.5 * s)
         nn = 4 * (deg + 1)

@@ -366,18 +366,23 @@ class QCDecoder:
         return self._build_dense()
 
     def _resident_layout(self, B: int):
-        """(doubled, totals_f32) resolved against the 128 MiB VMEM budget."""
-        from ..ops.pallas_kernels import resident_vmem_bytes
+        """(doubled, totals_f32) for the resident kernel.
 
+        ``doubled=None`` resolves to False: doubled totals measured a ~9%
+        REGRESSION at DVB-S2 scale (0.638 vs 0.584 ms/iter — the extra
+        VMEM write costs more than the slice+concat it saves, BASELINE.md
+        round 4); the option remains for explicit opt-in re-measurement.
+        ``totals_dtype='float32'`` widens bf16/f16 totals only — float64
+        totals stay f64 (the dense path's acc_dtype guard; f64 parity
+        runs keep f64 end to end).
+        """
         totals_f32 = (
-            self.totals_dtype == "float32" and self.dtype != jnp.float32
+            self.totals_dtype == "float32"
+            and self.dtype not in (jnp.float32, jnp.float64)
         )
         doubled = self.resident_double
         if doubled is None:
-            doubled = resident_vmem_bytes(
-                self.nb_v, self.nb_c, len(self.base_edges), self.z, B,
-                self.dtype, doubled=True, totals_f32=totals_f32,
-            ) + 24 * 2 ** 20 <= 128 * 2 ** 20
+            doubled = False
         return bool(doubled), totals_f32
 
     def _build_resident(self):

@@ -51,9 +51,18 @@ def y_to_lappr_gray_bits(y_sb, constellation, two_variance,
     static constellation floats — every live array stays ``[S, B]`` with
     the batch on the lane dim, no trailing M axis, no mid-shape reductions
     (a small trailing axis is a measured compile/runtime hazard on this
-    backend, see models/noisemapper.hard_decide_index).  Stability is the
-    same shared-max logsumexp: one global running max over the M distance
+    backend, see models/noisemapper.hard_decide_index).  Stability is a
+    SHARED-max logsumexp: one global running max over the M distance
     slabs, M exps, ``2*bps`` logs.
+
+    Deviation from the per-group logsumexp: when every exponential of one
+    Gray group underflows against the shared max (a >~88-sigma'd tail
+    sample at very high SNR in f32), the group sum is floored at the
+    dtype's smallest normal, saturating that LLR at ~|log(tiny)| ~= 88-175
+    instead of the exact larger tail value — far beyond BP decision
+    levels, and finite (never +/-inf/NaN), where a 0-sum would produce
+    inf.  Per-group maxes would be exact but cost ``bps*M`` exps instead
+    of M.
 
     ``two_variance`` may be a traced scalar (sigma rides into jitted sweep
     rounds as an argument — one compiled program per sweep).
@@ -71,6 +80,9 @@ def y_to_lappr_gray_bits(y_sb, constellation, two_variance,
         gmax = jnp.maximum(gmax, lw[m])
     e = [jnp.exp(lw[m] - gmax) for m in range(M)]            # M x [S, B]
 
+    # smallest normal of the COMPUTE dtype: bf16/f16 inputs are summed in
+    # their own dtype, so floor against that dtype's underflow threshold
+    tiny = float(jnp.finfo(jnp.dtype(dtype)).tiny)
     out = []
     for b in range(bps):
         num = den = None
@@ -79,5 +91,7 @@ def y_to_lappr_gray_bits(y_sb, constellation, two_variance,
                 den = e[m] if den is None else den + e[m]
             else:
                 num = e[m] if num is None else num + e[m]
-        out.append(jnp.log(num) - jnp.log(den))
+        out.append(
+            jnp.log(jnp.maximum(num, tiny)) - jnp.log(jnp.maximum(den, tiny))
+        )
     return jnp.stack(out)                                    # [bps, S, B]

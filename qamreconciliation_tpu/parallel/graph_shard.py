@@ -324,10 +324,12 @@ class ShardedQCDecoder(QCDecoder):
             raise ValueError("ShardedQCDecoder is incompatible with "
                              "compressed=True")
         # the fused Pallas check phase doesn't partition; the XLA check
-        # phase is the sharded path
-        kw.setdefault("use_pallas", False)
+        # phase is the sharded path.  Force False even for an explicit
+        # use_pallas=None (which QCDecoder would otherwise auto-resolve
+        # to True on a TPU backend); reject only an explicit True.
         if kw.get("use_pallas"):
             raise ValueError("ShardedQCDecoder requires use_pallas=False")
+        kw["use_pallas"] = False
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         super().__init__(base_edges, z, **kw)

@@ -64,10 +64,17 @@ def main():
 
     chunk = int(args.chunk_frames * N_symb)
 
-    # untimed warmup pass over one batch to absorb the two compiles
+    # untimed warmup pass over one batch to absorb the two compiles.
+    # In defer mode the cross-call pipeline keeps the batch in flight, so
+    # FLUSH both sides — otherwise alice_process sees 0 aligned frames,
+    # never builds its jit, and the remote compile lands in the timed loop
     wf = args.batch * N_symb
     w, s, nh = sr.bob_process(y[:wf])
+    if w.shape[0] == 0:
+        w, s, nh = sr.bob_flush()
     res = sr.alice_process(nh, x[:wf], s, args.maxiter, bob_words=w)
+    res2 = sr.alice_flush(args.maxiter)
+    assert res.frames + res2.frames == args.batch, (res.frames, res2.frames)
     # reset carry/queues & accounting
     sr2 = StreamReconciler(dec, mat, pa, nm, batch=args.batch,
                            defer=bool(args.defer))

@@ -225,3 +225,34 @@ def test_lane_flat_direct_llrs_match_reference_form(bps):
     # interleave to the reference's [B, S*bps] per-symbol-contiguous order
     new_bn = new.transpose(2, 1, 0).reshape(B, -1)
     np.testing.assert_allclose(new_bn, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_lane_flat_direct_llrs_finite_at_high_snr():
+    """Underflow guard: at very high SNR a tail sample can underflow one
+    Gray group's exponentials against the shared max; the lane-flat
+    builder must stay FINITE (saturating), never +/-inf/NaN, and must
+    agree with the reference form wherever the reference is moderate."""
+    from qamreconciliation_tpu.ops.llr import (
+        y_to_lappr_gray, y_to_lappr_gray_bits,
+    )
+
+    pa = PAMAlphabet(4, 2)
+    y_sb = np.array([[1.6], [14.9], [-15.2], [0.05]])
+    two_var = 0.02
+    new = np.asarray(y_to_lappr_gray_bits(
+        jnp.asarray(y_sb, jnp.float32), pa.constellation,
+        jnp.float32(two_var), jnp.float32,
+    ))
+    assert np.isfinite(new).all(), new
+    ref = np.asarray(y_to_lappr_gray(
+        jnp.asarray(y_sb.T, jnp.float32), pa.constellation, two_var,
+        jnp.float32,
+    ))
+    new_bn = new.transpose(2, 1, 0).reshape(1, -1)
+    moderate = np.abs(ref) < 80.0
+    np.testing.assert_allclose(
+        new_bn[moderate], ref[moderate], rtol=1e-4, atol=1e-3
+    )
+    # saturated entries keep the reference's SIGN
+    sat = ~moderate & np.isfinite(ref)
+    assert (np.sign(new_bn[sat]) == np.sign(ref[sat])).all()
