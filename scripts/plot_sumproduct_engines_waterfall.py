@@ -11,7 +11,11 @@ message-storage cost itself is visible and small: knee FER 0.58 vs
 0.42 at 3.5 dB, ~0.05 dB of threshold (Alternating sign config).
 
 Usage: python scripts/plot_sumproduct_engines_waterfall.py \
-           SP_BF16.csv FB_RES.csv SP_F32.csv OUT.png
+           SP_BF16.csv FB_RES.csv SP_F32.csv OUT.png [HYBRID.csv]
+
+The optional HYBRID.csv overlays the f32-totals/bf16-messages resident
+hybrid (--totals-dtype float32) — measured knee-NEUTRAL vs bf16
+(BASELINE.md round 4: the knee cost is message rounding, not totals).
 """
 
 import sys
@@ -23,10 +27,11 @@ import matplotlib.pyplot as plt
 import pandas as pd
 
 
-def main(sp_csv, fb_csv, f32_csv, out_png):
+def main(sp_csv, fb_csv, f32_csv, out_png, hybrid_csv=None):
     sp = pd.read_csv(sp_csv)
     fb = pd.read_csv(fb_csv)
     f32 = pd.read_csv(f32_csv)
+    hy = pd.read_csv(hybrid_csv) if hybrid_csv else None
     fig, axes = plt.subplots(1, 2, figsize=(10, 4), sharex=True)
     for ax, col, ylab in zip(axes, ("ber", "fer"), ("BER", "FER")):
         ax.semilogy(sp.EsN0dB, sp[col].clip(lower=1e-7), "o-",
@@ -35,6 +40,9 @@ def main(sp_csv, fb_csv, f32_csv, out_png):
                     label="VMEM-resident, tanh-F/B, bf16 (1.4x faster)")
         ax.semilogy(f32.EsN0dB, f32[col].clip(lower=1e-7), "s--",
                     label="dense, phi form, float32")
+        if hy is not None:
+            ax.semilogy(hy.EsN0dB, hy[col].clip(lower=1e-7), "x:",
+                        label="resident, f32-totals hybrid (knee-neutral)")
         ax.set_xlabel("$E_s/N_0$ [dB]")
         ax.set_ylabel(ylab)
         ax.grid(True, which="both", alpha=0.3)
@@ -49,4 +57,4 @@ def main(sp_csv, fb_csv, f32_csv, out_png):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:5])
+    main(*sys.argv[1:6])

@@ -87,6 +87,10 @@ def main():
         out = f(lappr, synd, jnp.int32(args.maxiter))
         np.asarray(out[1])
     ms_iter = (time.perf_counter() - t0) / args.reps / args.maxiter * 1e3
+    extras = {}
+    if args.qc and args.resident:
+        dbl, tf32 = dec._resident_layout(args.batch)
+        extras = {"resident_double": dbl, "totals_f32": tf32}
     print(json.dumps({
         "n": args.n, "batch": args.batch, "qc": args.qc,
         "pallas": args.pallas, "dtype": args.dtype, "check": args.check,
@@ -96,6 +100,7 @@ def main():
         "ms_per_iter": round(ms_iter, 3),
         "decode_fps": round(args.batch / (ms_iter * args.maxiter) * 1e3, 1),
         "compile_s": round(compile_s, 1),
+        **extras,
     }))
 
 
