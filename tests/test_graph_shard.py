@@ -210,3 +210,19 @@ def test_sharded_cli_sweep(tmp_path):
     ])
     assert len(df) == 1
     assert list(df.columns) == ["EsN0dB", "ber", "fer", "iters"]
+
+
+def test_sharded_qc_use_pallas_none_is_forced_off():
+    """Regression: an explicit use_pallas=None must not slip past the
+    guard into QCDecoder's TPU auto-resolution (which would engage the
+    non-partitioning fused Pallas check phase); only explicit True
+    errors."""
+    from qamreconciliation_tpu.models.qc_decoder import make_qc_ldpc
+    from qamreconciliation_tpu.parallel.graph_shard import ShardedQCDecoder
+
+    base, _, _ = make_qc_ldpc(6, 16, dv=3, dc=6, seed=4)
+    mesh = make_mesh(8, axis_name="gs")
+    dec = ShardedQCDecoder(base, 16, mesh, use_pallas=None)
+    assert dec.use_pallas is False
+    with pytest.raises(ValueError):
+        ShardedQCDecoder(base, 16, mesh, use_pallas=True)

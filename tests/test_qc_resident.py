@@ -267,3 +267,25 @@ def test_generic_decoder_tanhfb_equivalence():
         m = (np.abs(a) < 14.0) & (np.abs(b) < 14.0)
         assert m.mean() > 0.5
         np.testing.assert_allclose(a[m], b[m], rtol=0.05, atol=0.3)
+
+
+def test_resident_layout_defaults():
+    """Regression (round-4 review): resident_double=None resolves OFF
+    (doubled totals are a measured regression), and totals_dtype='float32'
+    never downcasts float64 totals (f64 parity runs keep f64 end to
+    end) while still widening bf16."""
+    import jax.numpy as jnp
+    from qamreconciliation_tpu.models.qc_decoder import QCDecoder, make_qc_ldpc
+
+    base, _, _ = make_qc_ldpc(36, 1800, dv=3, dc=6, seed=12345)
+    dec = QCDecoder(base, 1800, dtype=jnp.bfloat16, resident=True)
+    assert dec._resident_layout(128) == (False, False)
+    dec = QCDecoder(base, 1800, dtype=jnp.bfloat16, resident=True,
+                    totals_dtype="float32")
+    assert dec._resident_layout(128) == (False, True)
+    dec = QCDecoder(base, 1800, dtype=jnp.float64, resident=True,
+                    totals_dtype="float32")
+    assert dec._resident_layout(128) == (False, False)
+    dec = QCDecoder(base, 1800, dtype=jnp.bfloat16, resident=True,
+                    resident_double=True)
+    assert dec._resident_layout(128)[0] is True
