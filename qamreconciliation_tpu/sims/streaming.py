@@ -408,3 +408,149 @@ class StreamReconciler:
             harvest(self._alice_pending)
             self._alice_pending = None
         return res
+
+    # ------------------------------------------------- fused protocol path
+
+    def _ensure_fused_jit(self):
+        """One jitted program for the WHOLE per-batch protocol: Bob
+        (hard-decide + softening metric + word + syndrome) feeding Alice
+        (LLR + decode) without the device->host->device bounce of the
+        split API, plus device-side bit-error accounting and bit-PACKED
+        word downloads.  Per 64-frame DVB-S2 batch this shrinks the
+        tunnel traffic from ~20 MB (split API: Bob's words/synd/n_hat
+        down, then n_hat/synd back up, then bf16 totals down) to the y/x
+        uploads + ~0.5 MB of packed words and counters."""
+        if getattr(self, "_fused_jit", None) is not None:
+            return self._fused_jit
+        llr_mode = self.llr_mode
+        if llr_mode == "table":
+            self.nm._ensure_llr_tab()
+        elif llr_mode == "poly":
+            self.nm._ensure_llr_poly()
+        N = self.N
+        npad = (-N) % 8
+        w_pack = jnp.asarray(
+            np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.int32)
+        )
+
+        def pack_bits(bits_bn):
+            """[B, N] 0/1 int32 -> [B, ceil(N/8)] uint8 (little bitorder,
+            np.unpackbits(..., bitorder='little')-compatible)."""
+            if npad:
+                bits_bn = jnp.concatenate(
+                    [bits_bn,
+                     jnp.zeros((bits_bn.shape[0], npad), bits_bn.dtype)],
+                    axis=1,
+                )
+            g = bits_bn.reshape(bits_bn.shape[0], -1, 8).astype(jnp.int32)
+            return jnp.sum(g * w_pack, axis=-1).astype(jnp.uint8)
+
+        def fused_round(nm, y, x, max_iter):
+            x_hat = nm.hard_decide_index(y)
+            n_hat = nm.map_noise(y, x_hat)
+            words = self.pa.demap_symbols_to_bits(x_hat)      # [B, N]
+            synd = self.mat.eval_syndrome(words)
+            lappr = nm.demap_lappr_array(n_hat, x, mode=llr_mode)
+            if self.dec._decode_jit is None:
+                self.dec._decode_jit = self.dec._build_decode()
+            success, iters, total = self.dec._decode_jit(
+                lappr.T, synd.T, max_iter
+            )
+            alice_bits = (total.T < 0).astype(jnp.int32)      # [B, N]
+            errs = jnp.sum(
+                jnp.bitwise_xor(alice_bits, words.astype(jnp.int32)),
+                axis=1,
+            )                                                  # [B] int32
+            return success, iters, errs, pack_bits(alice_bits)
+
+        self._fused_jit = jax.jit(fused_round)
+        return self._fused_jit
+
+    def stream_fused(self, y_stream, x_stream, max_iterations: int = 50):
+        """Run the full Bob->Alice reconciliation over chunked streams in
+        ONE device program per batch (see :meth:`_ensure_fused_jit`).
+
+        The split ``bob_process``/``alice_process`` API is the
+        protocol-faithful host boundary (Bob's outputs cross a classical
+        channel); this is the throughput path for simulation/evaluation,
+        where both streams are visible to one host.  Chunks may be any
+        sizes (carry-over boundary handling both sides); frames complete
+        when BOTH streams cover them.  One batch stays in flight
+        (double-buffered); the tail is padded once.  Returns a
+        StreamResult with exact per-frame success/iterations, decoded
+        words, and bit_errors vs Bob's words (counted on device).
+        """
+        if isinstance(y_stream, np.ndarray):
+            y_stream = [y_stream]
+        if isinstance(x_stream, np.ndarray):
+            x_stream = [x_stream]
+        y_it, x_it = iter(y_stream), iter(x_stream)
+        S, B, N = self.N_symb, self.batch, self.N
+        need = B * S
+        idx_dt = np.uint8 if self.pa.order <= 256 else np.int32
+        ycar = np.empty(0, np.float64)
+        xcar = np.empty(0, np.int64)
+        res = StreamResult()
+        jit = self._ensure_fused_jit()
+        pending = None
+
+        def harvest(p):
+            (succ, iters, errs, packed), take = p
+            res.frames += take
+            res.success.extend(bool(v) for v in np.asarray(succ)[:take])
+            res.iterations.extend(int(v) for v in np.asarray(iters)[:take])
+            res.bit_errors += int(np.asarray(errs)[:take].sum())
+            words = np.unpackbits(
+                np.asarray(packed)[:take], axis=1, bitorder="little"
+            )[:, :N]
+            res.decoded_words.extend(list(words))
+
+        def dispatch(yb, xb, take):
+            nonlocal pending
+            self.decode_dispatches += 1
+            out = jit(
+                self.nm,
+                jnp.asarray(yb, self.nm.dtype),
+                jnp.asarray(xb.astype(idx_dt)),
+                jnp.int32(max_iterations),
+            )
+            if pending is not None:
+                harvest(pending)
+            pending = (out, take)
+
+        y_done = x_done = False
+        while True:
+            # top up: each side ends this block either exhausted or with
+            # >= one full batch of symbols
+            while ycar.size < need and not y_done:
+                try:
+                    ycar = np.concatenate(
+                        [ycar, np.asarray(next(y_it), np.float64).ravel()]
+                    )
+                except StopIteration:
+                    y_done = True
+            while xcar.size < need and not x_done:
+                try:
+                    xcar = np.concatenate(
+                        [xcar, np.asarray(next(x_it), np.int64).ravel()]
+                    )
+                except StopIteration:
+                    x_done = True
+            avail = min(ycar.size, xcar.size) // S
+            if avail >= B:
+                yb = ycar[:need].reshape(B, S)
+                xb = xcar[:need].reshape(B, S)
+                ycar, xcar = ycar[need:], xcar[need:]
+                dispatch(yb, xb, B)
+                continue
+            if avail:     # padded tail, once (symbols past the shorter
+                yb = ycar[: avail * S].reshape(avail, S)   # stream's last
+                xb = xcar[: avail * S].reshape(avail, S)   # frame cannot
+                pad = B - avail                            # decode)
+                yb = np.concatenate([yb, np.repeat(yb[-1:], pad, 0)])
+                xb = np.concatenate([xb, np.repeat(xb[-1:], pad, 0)])
+                dispatch(yb, xb, avail)
+            break
+        if pending is not None:
+            harvest(pending)
+        return res

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--bps", type=int, default=2)
     ap.add_argument("--maxiter", type=int, default=50)
     ap.add_argument("--defer", type=int, default=1)
+    ap.add_argument("--fused", type=int, default=0,
+                    help="use the one-program stream_fused driver "
+                    "(device-resident Bob->Alice hand-off, packed-word "
+                    "downloads)")
     args = ap.parse_args()
 
     import numpy as np
@@ -63,6 +67,29 @@ def main():
     )
 
     chunk = int(args.chunk_frames * N_symb)
+
+    if args.fused:
+        # untimed warmup (absorbs the fused compile), then timed run
+        wf = args.batch * N_symb
+        sr.stream_fused(y[:wf], x[:wf], args.maxiter)
+        sr2 = StreamReconciler(dec, mat, pa, nm, batch=args.batch)
+        sr2._fused_jit = sr._fused_jit
+        sr2.dec = sr.dec          # shares the built decode jit
+        y_chunks = [y[a:a + chunk] for a in range(0, F * N_symb, chunk)]
+        x_chunks = [x[a:a + chunk] for a in range(0, F * N_symb, chunk)]
+        t0 = time.perf_counter()
+        r = sr2.stream_fused(y_chunks, x_chunks, args.maxiter)
+        elapsed = time.perf_counter() - t0
+        print(json.dumps({
+            "frames": F, "decoded_frames": r.frames, "batch": args.batch,
+            "chunk_frames": args.chunk_frames, "fused": True,
+            "snr_dB": args.snr, "success": sum(r.success),
+            "bit_errors": r.bit_errors,
+            "dispatches": sr2.decode_dispatches,
+            "elapsed_s": round(elapsed, 2),
+            "symbols_per_s": round(F * N_symb / elapsed, 1),
+        }))
+        return
 
     # untimed warmup pass over one batch to absorb the two compiles.
     # In defer mode the cross-call pipeline keeps the batch in flight, so

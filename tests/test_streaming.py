@@ -222,3 +222,55 @@ def test_defer_rejects_mid_stream_accounting_start(chain):
     with pytest.raises(ValueError):
         sr.alice_process(nhat2, x2, synd2, max_iterations=4,
                          bob_words=words2)
+
+
+def test_stream_fused_matches_split_api(chain):
+    """The fused one-program protocol driver produces EXACTLY the split
+    bob_process/alice_process results on the same streams: decoded
+    words, success, iterations, bit_errors (the LLR/decode chain is the
+    same math; packing/unpacking round-trips the words)."""
+    dec, mat, pa, nm, sigma = chain
+    rng = np.random.default_rng(11)
+    F = 7
+    S = mat.vnum // pa.bit_per_symbol
+    x = rng.integers(0, pa.order, F * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+    # misaligned chunks
+    cuts = [0, int(1.4 * S), int(3.7 * S), int(4.1 * S), F * S]
+    y_chunks = [y[a:b] for a, b in zip(cuts, cuts[1:])]
+    x_chunks = [x[a:b] for a, b in zip(cuts, cuts[1:])]
+
+    sr1 = StreamReconciler(dec, mat, pa, nm, batch=3)
+    words_l, synd_l, nhat_l = [], [], []
+    for yc in y_chunks:
+        w, s, nh = sr1.bob_process(yc)
+        words_l.append(w); synd_l.append(s); nhat_l.append(nh)
+    w = np.concatenate(words_l); s = np.concatenate(synd_l)
+    nh = np.concatenate(nhat_l)
+    r_split = sr1.alice_process(nh, x, s, max_iterations=8, bob_words=w)
+
+    sr2 = StreamReconciler(dec, mat, pa, nm, batch=3)
+    r_fused = sr2.stream_fused(y_chunks, x_chunks, max_iterations=8)
+
+    assert r_fused.frames == r_split.frames == F
+    assert r_fused.success == r_split.success
+    assert r_fused.iterations == r_split.iterations
+    assert r_fused.bit_errors == r_split.bit_errors
+    for a, b in zip(r_fused.decoded_words, r_split.decoded_words):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stream_fused_tail_and_uneven_streams(chain):
+    """Tail shorter than a batch is padded once; the shorter stream
+    bounds the decodable frames."""
+    dec, mat, pa, nm, sigma = chain
+    rng = np.random.default_rng(12)
+    S = mat.vnum // pa.bit_per_symbol
+    x = rng.integers(0, pa.order, 5 * S + S // 2)   # 5.5 frames of x
+    y_full = pa.constellation[x[: 5 * S]] \
+        + sigma * rng.standard_normal(5 * S)        # 5 frames of y
+    sr = StreamReconciler(dec, mat, pa, nm, batch=4)
+    r = sr.stream_fused(y_full, x, max_iterations=8)
+    assert r.frames == 5
+    assert len(r.decoded_words) == 5
+    assert all(wd.shape == (mat.vnum,) for wd in r.decoded_words)
