@@ -53,6 +53,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -506,6 +507,50 @@ def main():
             "mean_iters": round(r5.iters, 2),
             "frames_per_s": round(r5.frames_per_s, 1),
         }
+
+    # ---- 3d. streaming protocol block (QC only, opt-out) -------------------
+    # The fused one-program Bob->Alice stream driver (sims/streaming.
+    # stream_fused): frame-misaligned 2.33-frame chunks, min-sum, the
+    # BASELINE streaming protocol.  BENCH_STREAM=0 skips.
+    if (os.environ.get("BENCH_STREAM", "1") == "1" and USE_QC
+            and MODE == "softening"):
+        from qamreconciliation_tpu.sims.streaming import StreamReconciler
+
+        sb = min(BATCH, 64)
+        sdec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                         check_rule="minsum")
+        Es = pa.variance
+        sN0 = Es * (10.0 ** (-SNR2_DB / 10.0)) / 2.0
+        snm = NoiseMapper(pa, sN0, dtype=dt)
+        sr = StreamReconciler(sdec, mat, pa, snm, batch=sb)
+        s_rng = np.random.default_rng(3)
+        sF = 4 * sb
+        sx = s_rng.choice(pa.order, size=sF * eng.N_symb,
+                          p=np.asarray(pa.probabilities))
+        sy = np.asarray(pa.constellation)[sx] \
+            + math.sqrt(sN0) * s_rng.standard_normal(sx.size)
+        t0 = time.perf_counter()
+        sr.stream_fused(sy[: sb * eng.N_symb], sx[: sb * eng.N_symb],
+                        MAX_ITER)   # warmup: absorbs the fused compile
+        log(f"stream_fused warmup: {time.perf_counter() - t0:.1f}s")
+        sr2 = StreamReconciler(sdec, mat, pa, snm, batch=sb)
+        sr2._fused_jit = sr._fused_jit
+        chunk = int(2.33 * eng.N_symb)
+        ycks = [sy[a:a + chunk] for a in range(0, sx.size, chunk)]
+        xcks = [sx[a:a + chunk] for a in range(0, sx.size, chunk)]
+        t0 = time.perf_counter()
+        s_res = sr2.stream_fused(ycks, xcks, MAX_ITER)
+        s_el = time.perf_counter() - t0
+        extras["streaming"] = {
+            "driver": "stream_fused", "frames": s_res.frames,
+            "batch": sb, "chunk_frames": 2.33, "snr_dB": SNR2_DB,
+            "fer": round(s_res.fer, 4),
+            "symbols_per_s": round(sx.size / s_el, 1),
+        }
+        log(f"stream_fused: {sx.size} symbols in {s_el:.2f}s -> "
+            f"{extras['streaming']['symbols_per_s']:.0f} symbols/s "
+            f"(fer={s_res.fer:.3f})")
+        del sdec, sr, sr2
 
     # ---- 4. native single-core baseline -----------------------------------
     baseline_fps = None
