@@ -89,8 +89,12 @@ RESIDENT = {"auto": None, "0": False, "1": True}[
     os.environ.get("BENCH_RESIDENT", "auto")
 ]
 # BP iterations per resident-kernel dispatch (early exit granularity vs
-# while-loop sync amortization; the decode probe and the rounds share it)
-RESIDENT_CHUNK = int(os.environ.get("BENCH_RESIDENT_CHUNK", 16))
+# while-loop sync amortization; the decode probe and the rounds share it).
+# Default 50 = the CLI default and the BASELINE protocol: it covers
+# maxiter=50 in ONE kernel call (each chunk boundary costs ~0.7 ms of
+# cond-sync/state DMA — the round-3 bench's chunk-16 default was the
+# 0.755-vs-0.580 ms/iter artifact discrepancy).
+RESIDENT_CHUNK = int(os.environ.get("BENCH_RESIDENT_CHUNK", 50))
 # running-totals dtype: "storage" (default) or "float32" (the knee-quality
 # hybrid: f32 totals + storage-width messages, QCDecoder(totals_dtype=...))
 TOTALS = os.environ.get("BENCH_TOTALS", "storage")
