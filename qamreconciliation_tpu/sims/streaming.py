@@ -82,9 +82,21 @@ class StreamReconciler:
         batch: int = 32,
         llr_mode: str = "poly",
         defer: bool = False,
+        mesh_axis=None,
     ):
         if mat.vnum % pa.bit_per_symbol != 0:
             raise ValueError("code length not divisible by bits/symbol")
+        # optional (mesh, axis_name): the FUSED driver shards each batch's
+        # frames over the mesh (pure frame-shard DP — every stage of the
+        # protocol is frame-parallel, so there are no collectives; outputs
+        # come back batch-sharded and concatenate transparently).  The
+        # split bob/alice API stays single-device (its contract is the
+        # host protocol boundary).
+        if mesh_axis is not None and batch % mesh_axis[0].devices.size:
+            raise ValueError(
+                f"batch {batch} must divide over the {mesh_axis[0]} mesh"
+            )
+        self.mesh_axis = mesh_axis
         self.dec = dec
         self.mat = mat
         self.pa = pa
@@ -463,7 +475,17 @@ class StreamReconciler:
             )                                                  # [B] int32
             return success, iters, errs, pack_bits(alice_bits)
 
-        self._fused_jit = jax.jit(fused_round)
+        if self.mesh_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            mesh, ax = self.mesh_axis
+            self._fused_jit = jax.jit(jax.shard_map(
+                fused_round, mesh=mesh,
+                in_specs=(P(), P(ax), P(ax), P()),
+                out_specs=P(ax), check_vma=False,
+            ))
+        else:
+            self._fused_jit = jax.jit(fused_round)
         return self._fused_jit
 
     def stream_fused(self, y_stream, x_stream, max_iterations: int = 50):

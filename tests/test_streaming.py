@@ -274,3 +274,32 @@ def test_stream_fused_tail_and_uneven_streams(chain):
     assert r.frames == 5
     assert len(r.decoded_words) == 5
     assert all(wd.shape == (mat.vnum,) for wd in r.decoded_words)
+
+
+def test_stream_fused_frame_sharded_matches_single_device(chain):
+    """stream_fused over an 8-device mesh (frame-shard DP, no
+    collectives) is bit-exact vs the single-device fused driver."""
+    from qamreconciliation_tpu.parallel import make_mesh
+
+    dec, mat, pa, nm, sigma = chain
+    rng = np.random.default_rng(21)
+    F = 10
+    S = mat.vnum // pa.bit_per_symbol
+    x = rng.integers(0, pa.order, F * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+
+    sr1 = StreamReconciler(dec, mat, pa, nm, batch=8)
+    r1 = sr1.stream_fused(y, x, max_iterations=8)
+    mesh = make_mesh(8, axis_name="sdp")
+    sr2 = StreamReconciler(dec, mat, pa, nm, batch=8,
+                           mesh_axis=(mesh, "sdp"))
+    r2 = sr2.stream_fused(y, x, max_iterations=8)
+    assert r1.frames == r2.frames == F
+    assert r1.success == r2.success
+    assert r1.iterations == r2.iterations
+    assert r1.bit_errors == r2.bit_errors
+    for a, b in zip(r1.decoded_words, r2.decoded_words):
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError):
+        StreamReconciler(dec, mat, pa, nm, batch=6,
+                         mesh_axis=(mesh, "sdp"))
