@@ -310,15 +310,15 @@ def main():
         i_base, i_vid, i_cid = make_qc_ira(
             nb_info=18, nb_acc=18, z=z, dv=3, seed=12345
         )
-        # NOTE: resident defaults OFF here even when the regular headline
-        # runs resident — the IRA code's mixed degrees reach dc~10 and its
-        # resident kernel VMEM layout spills at DVB-S2 scale (measured:
-        # compile OOM at z=1800/B=128 where the regular dc=6 kernel fits).
-        # BENCH_IRREGULAR_RESIDENT=1 opts in; any compile failure falls
-        # back to the dense roll path so the one-JSON-line contract
-        # survives.
+        # The IRA code's mixed degrees reach dc~10; the ROW-GROUPED pass 1
+        # (resident_rowgroup auto, ops/pallas_kernels._grouped_row) splits
+        # those wide rows so the resident kernel no longer spills at
+        # DVB-S2 scale — resident now follows the regular headline's
+        # setting.  BENCH_IRREGULAR_RESIDENT=0 opts out; any compile
+        # failure still falls back to the dense roll path so the
+        # one-JSON-line contract survives.
         i_resident = (
-            os.environ.get("BENCH_IRREGULAR_RESIDENT", "0") == "1"
+            os.environ.get("BENCH_IRREGULAR_RESIDENT", "1") == "1"
             and bool(resident)
         )
         idec = QCDecoder(i_base, z, dtype=dt, use_pallas=PALLAS,
@@ -357,6 +357,8 @@ def main():
         i_ms = min(i_rep_ms) / probe_iters
         dcs = sorted({sum(1 for c, _, _ in i_base if c == cbi)
                       for cbi in range(18)})
+        from qamreconciliation_tpu.ops.pallas_kernels import _pick_rowgroup
+
         extras["irregular_qc"] = {
             "code": f"qc-ira dv=3 dc={dcs} z={z} N={idec.vnum}",
             "decode_ms_per_iter": round(i_ms, 3),
@@ -364,6 +366,9 @@ def main():
                 BATCH / (i_ms * MAX_ITER) * 1e3, 1
             ),
             "resident": bool(i_resident),
+            "rowgroup": (
+                _pick_rowgroup(z, BATCH, idec.dc) if i_resident else None
+            ),
         }
         log(f"irregular-QC decode: {i_ms:.3f} ms/iter")
         del idec, fi, i_lappr, i_synd

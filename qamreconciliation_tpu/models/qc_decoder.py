@@ -156,6 +156,7 @@ class QCDecoder:
                  resident_phi: str = "auto",
                  resident_double: bool | None = None,
                  resident_zchunk: int | None = None,
+                 resident_rowgroup: int | None = None,
                  totals_dtype: str = "storage",
                  check_phi: str = "phi",
                  minsum_alpha: float | None = None,
@@ -232,6 +233,20 @@ class QCDecoder:
         # (None = ops/pallas_kernels._pick_zchunk's fit heuristic; the
         # freeze form's freed VMEM may admit larger chunks — measure)
         self.resident_zchunk = resident_zchunk
+        # max check-row slots per resident pass-1 subgroup: wide rows
+        # (irregular codes, e.g. IRA-style DVB-S2) split into bounded
+        # subgroups merged with each rule's associative factorization so
+        # the per-block register liveness no longer scales with dc_max —
+        # the round-4 irregular-resident VMEM-OOM fix
+        # (ops/pallas_kernels._pick_rowgroup).  None = auto (group only
+        # when it strictly reduces the chunk count); 0 = never; int >= 2
+        # = explicit cap.
+        if resident_rowgroup is not None and int(resident_rowgroup) == 1:
+            raise ValueError("resident_rowgroup must be None (auto), 0 "
+                             "(off), or >= 2")
+        self.resident_rowgroup = (
+            None if resident_rowgroup is None else int(resident_rowgroup)
+        )
         # running-totals dtype: "storage" (totals at the message dtype —
         # the round-2/3 default; dense/resident stay bit-comparable) or
         # "float32" (the knee-quality hybrid, round-4 lever 4: totals and
@@ -443,6 +458,7 @@ class QCDecoder:
                 ms_alpha=self.minsum_alpha, ms_beta=self.minsum_beta,
                 doubled=doubled, totals_f32=totals_f32,
                 z_chunk=self.resident_zchunk,
+                row_group=self.resident_rowgroup,
             )
             tdtype = jnp.float32 if totals_f32 else dtype
             prior = prior_vb.astype(dtype).reshape(nb_v, z, B)

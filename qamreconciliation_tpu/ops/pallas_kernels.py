@@ -429,6 +429,75 @@ def _pick_zchunk(z: int, B: int = 128, dc: int = 6) -> int | None:
     return best
 
 
+def _pick_rowgroup(z: int, B: int, dc_max: int) -> int | None:
+    """Auto row-group cap for the resident kernel, or None (ungrouped).
+
+    Wide check rows (irregular codes, e.g. the IRA-style DVB-S2 family)
+    squeeze ``_pick_zchunk`` from both sides: the per-block temporary
+    budget scales with dc, so dc=10 forces ZC=450 at DVB-S2 scale — and
+    the resulting 72 unrolled pass-1 blocks land in the measured
+    register-spill VMEM-OOM regime (round-4 BASELINE.md).  Splitting each
+    wide row into dc-bounded SUBGROUPS and merging with the associative
+    P/Q (resp. phi-sum / min) factorization bounds the per-block
+    liveness by the group cap instead of dc_max, so ZC can grow back to
+    the proven few-chunk regime.
+
+    Policy: ungrouped when the full-degree pick already yields <= 2
+    chunks; otherwise the cap in 8..4 whose pick minimizes the chunk
+    count (largest cap on ties — fewer groups, less merge overhead),
+    kept only if it strictly beats ungrouped."""
+    zc0 = _pick_zchunk(z, B=B, dc=dc_max)
+    n0 = (z // zc0) if zc0 else None
+    if n0 is not None and n0 <= 2:
+        return None
+    best = None                      # ((nzc, -cap), cap)
+    for cap in (8, 7, 6, 5, 4):
+        if cap >= dc_max:
+            continue
+        zcg = _pick_zchunk(z, B=B, dc=cap)
+        if not zcg:
+            continue
+        key = (z // zcg, -cap)
+        if best is None or key < best[0]:
+            best = (key, cap)
+    if best is None or (n0 is not None and best[0][0] >= n0):
+        return None
+    return best[1]
+
+
+def _split_row(dcr: int, cap: int | None):
+    """Balanced (d0, d1) subgroup spans covering range(dcr)."""
+    if cap is None or dcr <= cap:
+        return [(0, dcr)]
+    n = -(-dcr // cap)
+    base, rem = divmod(dcr, n)
+    spans, d0 = [], 0
+    for i in range(n):
+        d1 = d0 + base + (1 if i < rem else 0)
+        spans.append((d0, d1))
+        d0 = d1
+    return spans
+
+
+def _fb_allbutone_list(terms):
+    """All-but-one products of a list of same-shape arrays via forward/
+    backward chains (the P/Q factorization of ops.boxplus.
+    tanhfb_extrinsic_mag, list form).  Returns ``(allbutone, full)``."""
+    n = len(terms)
+    if n == 1:
+        return [jnp.ones_like(terms[0])], terms[0]
+    F = [terms[0]]
+    for d in range(1, n):
+        F.append(F[-1] * terms[d])
+    Bk = [terms[n - 1]]
+    for d in range(n - 2, -1, -1):
+        Bk.append(Bk[-1] * terms[d])
+    Bk = Bk[::-1]
+    out = [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, n - 1)] \
+        + [F[n - 2]]
+    return out, F[n - 1]
+
+
 def resident_vmem_bytes(nb_v: int, nb_c: int, e_base: int, z: int, B: int,
                         dtype, *, doubled: bool = True,
                         totals_f32: bool = False) -> int:
@@ -459,7 +528,8 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         ms_alpha: float = MINSUM_ALPHA,
                         ms_beta: float = 0.0,
                         doubled: bool = False,
-                        totals_f32: bool = False):
+                        totals_f32: bool = False,
+                        row_group: int | None = None):
     """Build the K-iteration VMEM-resident QC flooding kernel.
 
     Args:
@@ -489,6 +559,16 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         float32 while messages stay at the storage dtype — the
         knee-quality hybrid (DESIGN.md round-4 lever 4).  Matches the
         dense path's ``totals_dtype="float32"`` numerics.
+      row_group: max check-row slots handled per pass-1 subgroup.  Wide
+        rows (irregular codes) are split into balanced subgroups merged
+        with the ASSOCIATIVE factorization of each rule — phi sums add,
+        P/Q tanh products multiply, mins min — via per-slot within-group
+        partials staged in VMEM scratch, bounding the per-block register
+        liveness by the cap instead of dc_max (the round-4 irregular
+        spill; see :func:`_pick_rowgroup`).  ``None`` = auto policy; 0 =
+        never split.  Min-sum grouping is bit-exact (min is associative,
+        tie semantics preserved); phi/tanhfb grouping reassociates f32
+        sums/products (the sum-product tier's existing tolerance).
 
     Returns ``step(it0, maxiter, total, c2v, prior, synd8, done, iters)
     -> (total, c2v, done, iters)`` advancing ``k_rounds`` flooding
@@ -545,12 +625,135 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
     tot_dtype = jnp.float32 if totals_f32 else None  # None = storage dtype
     tot_span = 2 * z if doubled else z
 
-    def _make_kernel(ZC, nzc):
+    def _make_kernel(ZC, nzc, cap, n_scr):
+        def _grouped_row(cb, row, e0, grps, zc, sl, synd_i, pref,
+                         total_s, c2v_s, viol_s, grp_s, grq_s):
+            """Pass-1 check update of one WIDE row in dc-bounded subgroups
+            (irregular codes — see ``row_group`` in the builder docstring).
+
+            Phase A stages each subgroup's per-slot within-group partials in
+            VMEM scratch (refs, not SSA values — so no [dcr, ZC, B] value
+            chain stays live across groups, the register-spill hazard that
+            motivates the split) plus the small per-group aggregates.
+            Phase B merges with the rule's associative combine and writes
+            c2v.  Slot signs are RECOMPUTED from the (unchanged) totals in
+            phase B — three cheap VPU ops per slot — instead of staged,
+            dodging both a second scratch buffer and a sign-of-zero packing
+            hazard."""
+            dtype = c2v_s.dtype
+
+            def _read_group(d0, d1):
+                t = jnp.stack([
+                    _read_rolled_chunk(total_s.at[v], s, zc * ZC, ZC,
+                                       span=tot_span)
+                    for (v, s) in row[d0:d1]
+                ]).astype(jnp.float32)                      # [dg, ZC, B]
+                v2c = t - c2v_s[e0 + d0:e0 + d1, sl].astype(jnp.float32)
+                return t, v2c
+
+            par_t = None            # [ZC, B] totals-sign parity (conv test)
+            par_v = None            # [ZC, B] v2c-sign parity
+            fulls = []              # per-group aggregate for the merge
+            for (d0, d1) in grps:
+                t, v2c = _read_group(d0, d1)
+                nt = jnp.sum((t < 0).astype(jnp.int32), axis=0)
+                par_t = nt if par_t is None else par_t + nt
+                nv = jnp.sum((v2c < 0).astype(jnp.int32), axis=0)
+                par_v = nv if par_v is None else par_v + nv
+                a = jnp.abs(v2c)
+                if rule == "minsum":
+                    # within-group all-but-one min (tie-correct); a
+                    # singleton group's empty all-but-one is the 1e30
+                    # sentinel — the exact neutral element of the merge
+                    grp_s[d0:d1] = minsum_extrinsic_mag(a, 0)
+                    fulls.append(jnp.min(a, axis=0))
+                elif phi_impl == "tanhfb":
+                    e_ = jnp.exp(-a)
+                    pm = [1.0 - e_[d] for d in range(d1 - d0)]
+                    qm = [1.0 + e_[d] for d in range(d1 - d0)]
+                    Pi, Pf = _fb_allbutone_list(pm)
+                    Qi, Qf = _fb_allbutone_list(qm)
+                    grp_s[d0:d1] = jnp.stack(Pi)
+                    grq_s[d0:d1] = jnp.stack(Qi)
+                    fulls.append((Pf, Qf))
+                else:
+                    phim = phi_llr(a, tiny)
+                    grp_s[d0:d1] = phim
+                    fulls.append(jnp.sum(phim, axis=0))
+
+            bad = ((par_t & 1) != synd_i).astype(jnp.int32)
+            cnt = jnp.sum(bad, axis=0)
+            viol_s[cb * nzc + zc] = jnp.broadcast_to(
+                cnt[None, :], (8, cnt.shape[0])
+            )
+            par_all = (par_v & 1)[None]                     # [1, ZC, B]
+
+            G = len(grps)
+            if rule == "minsum":
+                others = [
+                    functools.reduce(
+                        jnp.minimum, [fulls[h] for h in range(G) if h != g]
+                    )
+                    for g in range(G)
+                ]
+            elif phi_impl == "tanhfb":
+                otherP = [
+                    functools.reduce(
+                        jnp.multiply,
+                        [fulls[h][0] for h in range(G) if h != g],
+                    )
+                    for g in range(G)
+                ]
+                otherQ = [
+                    functools.reduce(
+                        jnp.multiply,
+                        [fulls[h][1] for h in range(G) if h != g],
+                    )
+                    for g in range(G)
+                ]
+            else:
+                s_all = functools.reduce(jnp.add, fulls)
+
+            for g, (d0, d1) in enumerate(grps):
+                _, v2c = _read_group(d0, d1)
+                neg = (v2c < 0).astype(jnp.int32)
+                if rule == "minsum":
+                    mag = minsum_mag(
+                        jnp.minimum(grp_s[d0:d1], others[g][None]),
+                        ms_alpha, ms_beta,
+                    )
+                elif phi_impl == "tanhfb":
+                    # same clamp as tanhfb_extrinsic_mag: P <= Q always
+                    # (componentwise pm <= qm), Q <= 2^(dcr-1)
+                    P = grp_s[d0:d1] * otherP[g][None]
+                    Q = grq_s[d0:d1] * otherQ[g][None]
+                    mag = jnp.log((Q + P) / jnp.maximum(Q - P, 6e-8 * Q))
+                else:
+                    mag = phi_llr(s_all[None] - grp_s[d0:d1], tiny)
+                sign = (1 - 2 * jnp.bitwise_xor(par_all, neg)).astype(
+                    jnp.float32
+                )
+                c2v_s[e0 + d0:e0 + d1, sl] = (
+                    sign * pref * mag
+                ).astype(dtype)
+
         def kernel(it0_ref, maxiter_ref, total_in, c2v_in, prior_in, synd_in,
                    done_in, iters_in,
                    total_out, c2v_out, done_out, iters_out,
                    total_s, c2v_s, prior_s, synd_s, done_s, iters_s,
-                   viol_s, sems):
+                   viol_s, *scr):
+            # optional row-group scratch (wide irregular rows only): per-slot
+            # within-group partials — phi sums / min-sum all-but-one mins in
+            # grp_s, the P and Q within-group all-but-one products of the
+            # tanh-F/B factorization in (grp_s, grq_s)
+            if n_scr == 2:
+                grp_s, grq_s, sems = scr
+            elif n_scr == 1:
+                grp_s, sems = scr
+                grq_s = None
+            else:
+                (sems,) = scr
+                grp_s = grq_s = None
             dtype = c2v_s.dtype
             tdtype = total_s.dtype
             # ---- load state into VMEM (one DMA each; totals land in
@@ -595,18 +798,25 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 for cb, row in enumerate(rows):
                     e0 = e_off[cb]
                     dcr = len(row)
+                    grps = _split_row(dcr, cap)
                     # circulant "gather": rolled chunks read straight from
                     # the VMEM ref (t[d, j] = total[vb, (j - s) % z], the
                     # same convention as qc_decoder.gather_totals); on the
                     # doubled buffer each read is a single static slice
                     for zc in range(nzc):
                         sl = slice(zc * ZC, (zc + 1) * ZC)
+                        synd_i = synd_s[cb, sl].astype(jnp.int32)
+                        pref = (1 - 2 * synd_i).astype(jnp.float32)[None]
+                        if len(grps) > 1:
+                            _grouped_row(cb, row, e0, grps, zc, sl,
+                                         synd_i, pref, total_s, c2v_s,
+                                         viol_s, grp_s, grq_s)
+                            continue
                         t = jnp.stack([
                             _read_rolled_chunk(total_s.at[v], s, zc * ZC,
                                                ZC, span=tot_span)
                             for (v, s) in row
                         ]).astype(jnp.float32)             # [dcr, ZC, B]
-                        synd_i = synd_s[cb, sl].astype(jnp.int32)
                         neg_t = (t < 0).astype(jnp.int32)
                         parity = jnp.sum(neg_t, axis=0) & 1
                         bad = (parity != synd_i).astype(jnp.int32)
@@ -644,7 +854,6 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(
                             jnp.float32
                         )
-                        pref = (1 - 2 * synd_i).astype(jnp.float32)[None]
                         c2v_s[e0:e0 + dcr, sl] = (
                             sign * pref * mag
                         ).astype(dtype)
@@ -706,17 +915,40 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
     def step(it0, maxiter, total, c2v, prior, synd8, done, iters):
         dtype = c2v.dtype
         B = total.shape[-1]
-        ZC = z_chunk or _pick_zchunk(z, B=B, dc=dc_max)
+        # row-group cap: auto grouping only picks a cap when it strictly
+        # reduces the unrolled chunk count (so regular codes and small test
+        # codes keep the exact ungrouped kernel); an explicit z_chunk pins
+        # the chunking, so auto stays ungrouped there too
+        if row_group is None:
+            cap = None if z_chunk else _pick_rowgroup(z, B, dc_max)
+        else:
+            cap = int(row_group) or None
+        if cap is not None and cap >= dc_max:
+            cap = None
+        dc_eff = cap if cap is not None else dc_max
+        ZC = z_chunk or _pick_zchunk(z, B=B, dc=dc_eff)
         if ZC is None or z % ZC:
             raise ValueError(
                 f"no legal resident z-chunking for z={z}, B={B}"
             )
         nzc = z // ZC
-        kernel = _make_kernel(ZC, nzc)
+        grouped = cap is not None and any(len(r) > cap for r in rows)
+        if grouped:
+            n_scr = 2 if (rule != "minsum" and phi_impl == "tanhfb") else 1
+            dc_scr = max(len(r) for r in rows if len(r) > cap)
+        else:
+            cap = None
+            n_scr = 0
+        kernel = _make_kernel(ZC, nzc, cap, n_scr)
         state_bytes = resident_vmem_bytes(
             nb_v, nb_c, E, z, B, dtype, doubled=doubled,
             totals_f32=totals_f32,
         )
+        if grouped:
+            # f32 row-group scratch, tile-padded like the state model
+            zp = -(-ZC // 8) * 8
+            bp_ = -(-B // 128) * 128
+            state_bytes += n_scr * dc_scr * zp * bp_ * 4
         vlimit = min(int(state_bytes + 40 * 2**20), 128 * 2**20)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -741,6 +973,12 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 pltpu.VMEM((8, B), jnp.int32),            # done_s
                 pltpu.VMEM((8, B), jnp.int32),            # iters_s
                 pltpu.VMEM((nb_c * nzc, 8, B), jnp.int32),  # viol_s
+            ] + [
+                # row-group scratch (wide irregular rows): per-slot
+                # within-group partials, f32 (grp_s[, grq_s])
+                pltpu.VMEM((dc_scr, ZC, B), jnp.float32)
+                for _ in range(n_scr)
+            ] + [
                 pltpu.SemaphoreType.DMA((5,)),
             ],
             # total/c2v are donated in-place

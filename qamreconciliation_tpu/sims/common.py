@@ -151,6 +151,15 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "--maxiter)",
     )
     parser.add_argument(
+        "--resident-rowgroup", type=int, default=None,
+        help="Resident kernel only: max check-row slots per pass-1 "
+        "subgroup.  Wide rows (irregular codes, e.g. IRA-style DVB-S2) "
+        "split into bounded subgroups merged associatively so per-block "
+        "register liveness stops scaling with the max row degree.  "
+        "Default auto (split only when it reduces the kernel's chunk "
+        "count); 0 disables splitting",
+    )
+    parser.add_argument(
         "--totals-dtype", choices=["storage", "float32"], default="storage",
         help="QC decoders: dtype of the running LLR totals. 'storage' "
         "keeps them in --dtype; 'float32' runs the f32-totals/"
@@ -183,6 +192,7 @@ def load_decoder(args):
     chunk = getattr(args, "layered_chunk", 4)
     resident = getattr(args, "resident", False)
     resident_chunk = getattr(args, "resident_chunk", 16)
+    resident_rowgroup = getattr(args, "resident_rowgroup", None)
     check_phi = getattr(args, "check_phi", "phi")
     totals_dtype = getattr(args, "totals_dtype", "storage")
     ms_kw = dict(minsum_alpha=getattr(args, "minsum_alpha", None),
@@ -195,6 +205,7 @@ def load_decoder(args):
                         check_rule=args.check_rule, schedule=schedule,
                         layered_chunk=chunk, resident=resident,
                         resident_chunk=resident_chunk,
+                        resident_rowgroup=resident_rowgroup,
                         check_phi=check_phi, totals_dtype=totals_dtype,
                         **ms_kw)
         return dec, dec.graph.e_to_v, dec.graph.e_to_c
@@ -217,6 +228,7 @@ def load_decoder(args):
                                 schedule=schedule, layered_chunk=chunk,
                                 resident=resident,
                                 resident_chunk=resident_chunk,
+                                resident_rowgroup=resident_rowgroup,
                                 check_phi=check_phi,
                                 totals_dtype=totals_dtype, **ms_kw)
                 print(f"[lift-qc] detected z={z} circulant lifting "

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--resident-double", type=int, default=-1,
                     help="-1 auto, 0 off, 1 on")
     ap.add_argument("--zchunk", type=int, default=0, help="0 = auto")
+    ap.add_argument("--ira", type=int, default=0,
+                    help="1 = irregular QC-IRA code (bench.py's 1b config: "
+                    "nb_info=18, nb_acc=18, dv=3 — mixed check degrees)")
+    ap.add_argument("--rowgroup", type=int, default=-1,
+                    help="resident_rowgroup: -1 auto, 0 off, >=2 cap")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -53,7 +58,14 @@ def main():
         )
 
         z = args.n // 36
-        base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
+        if args.ira:
+            from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
+
+            base, vid, cid = make_qc_ira(
+                nb_info=18, nb_acc=18, z=z, dv=3, seed=12345
+            )
+        else:
+            base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas),
                         check_rule=args.check, schedule=args.schedule,
                         resident=bool(args.resident),
@@ -61,6 +73,8 @@ def main():
                         resident_double=(None if args.resident_double < 0
                                          else bool(args.resident_double)),
                         resident_zchunk=args.zchunk or None,
+                        resident_rowgroup=(None if args.rowgroup < 0
+                                           else args.rowgroup),
                         totals_dtype=args.totals_dtype,
                         check_phi=args.phi)
     else:
@@ -74,7 +88,7 @@ def main():
     rng = np.random.default_rng(0)
     lappr = jnp.asarray(rng.normal(0, 3.0, (args.n, args.batch)), dt)
     synd = jnp.asarray(
-        rng.integers(0, 2, (len(vid) // 6, args.batch)), jnp.int32
+        rng.integers(0, 2, (dec.cnum, args.batch)), jnp.int32
     )
     f = dec._build_decode()
     t0 = time.perf_counter()

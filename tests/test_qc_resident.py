@@ -289,3 +289,94 @@ def test_resident_layout_defaults():
     dec = QCDecoder(base, 1800, dtype=jnp.bfloat16, resident=True,
                     resident_double=True)
     assert dec._resident_layout(128)[0] is True
+
+
+# --------------------------------------------------------------------- #
+# Row-grouped pass 1 (irregular wide rows): the round-4 VMEM-OOM fix.
+# Wide check rows split into dc-bounded subgroups merged with each rule's
+# associative factorization (ops/pallas_kernels._grouped_row): min-sum is
+# bit-exact (min associative, ties preserved), phi/tanhfb reassociate f32
+# sums/products.  Real irregular codes (IRA-style DVB-S2, reference:
+# sims/display_biawgn.py:30-35 / the jagged decoder decoder.pyx:60-89)
+# now ride the resident kernel.
+
+
+@pytest.fixture(scope="module")
+def ira():
+    from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
+
+    base, vid, cid = make_qc_ira(6, 6, 16, dv=3, seed=3)
+    return base, vid, cid
+
+
+def _ira_frames(ira, B, seed=7):
+    base, vid, cid = ira
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(seed)
+    V = (max(v for _, v, _ in base) + 1) * 16
+    word = rng.integers(0, 2, (B, V))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 1.2, (B, V))
+    return llr, synd
+
+
+def test_rowgroup_minsum_bit_identical(ira):
+    """Grouped min-sum resident == dense min-sum, bit for bit, on an
+    irregular IRA code (cap forces every row wider than 3 to split)."""
+    base, _, _ = ira
+    dense = QCDecoder(base, 16, dtype=jnp.float32, use_pallas=False,
+                      check_rule="minsum")
+    grp = QCDecoder(base, 16, dtype=jnp.float32, check_rule="minsum",
+                    resident=True, resident_chunk=4, resident_rowgroup=3)
+    llr, synd = _ira_frames(ira, B=8)
+    s1, i1, f1 = dense.decode_batch(llr, synd, 30)
+    s2, i2, f2 = grp.decode_batch(llr, synd, 30)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    assert int(np.asarray(s1).sum()) > 0
+
+
+@pytest.mark.parametrize("phi", ["phi", "tanhfb"])
+def test_rowgroup_sumproduct_matches_ungrouped(ira, phi):
+    """Grouped sum-product resident matches the ungrouped resident kernel
+    on (success, iters) exactly and finals to f32 reassociation
+    tolerance, for both magnitude implementations."""
+    base, _, _ = ira
+    r0 = QCDecoder(base, 16, dtype=jnp.float32, resident=True,
+                   resident_chunk=4, resident_rowgroup=0, resident_phi=phi)
+    rg = QCDecoder(base, 16, dtype=jnp.float32, resident=True,
+                   resident_chunk=4, resident_rowgroup=3, resident_phi=phi)
+    llr, synd = _ira_frames(ira, B=8, seed=11)
+    s1, i1, f1 = r0.decode_batch(llr, synd, 25)
+    s2, i2, f2 = rg.decode_batch(llr, synd, 25)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(f1), np.asarray(f2), rtol=2e-4, atol=2e-4
+    )
+    assert int(np.asarray(s1).sum()) > 0
+
+
+def test_rowgroup_auto_policy_and_validation():
+    """Auto grouping engages only when it strictly reduces the chunk
+    count: small-z codes and regular dc=6 at DVB-S2 scale stay
+    ungrouped; a dc_max=10 irregular code at z=1800 groups to a cap
+    whose pick returns to the few-chunk regime.  resident_rowgroup=1 is
+    rejected."""
+    from qamreconciliation_tpu.ops.pallas_kernels import (
+        _pick_rowgroup, _pick_zchunk, _split_row,
+    )
+
+    assert _pick_rowgroup(16, 8, 7) is None          # small z: fits whole
+    assert _pick_rowgroup(1800, 128, 6) is None      # regular DVB-S2: nzc=2
+    cap = _pick_rowgroup(1800, 128, 10)              # irregular DVB-S2
+    assert cap is not None and 4 <= cap <= 8
+    zc_g = _pick_zchunk(1800, B=128, dc=cap)
+    assert 1800 // zc_g < 1800 // _pick_zchunk(1800, B=128, dc=10)
+    assert _split_row(10, 6) == [(0, 5), (5, 10)]
+    assert _split_row(7, 6) == [(0, 4), (4, 7)]
+    assert _split_row(6, 6) == [(0, 6)]
+    base, _, _ = make_qc_ldpc(12, 16, dv=3, dc=6, seed=4)
+    with pytest.raises(ValueError, match="resident_rowgroup"):
+        QCDecoder(base, 16, resident=True, resident_rowgroup=1)
