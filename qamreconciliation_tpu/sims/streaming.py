@@ -28,7 +28,48 @@ from ..models.matrix import Matrix
 from ..models.alphabet import PAMAlphabet
 from ..models.noisemapper import NoiseMapper
 
-__all__ = ["StreamReconciler", "StreamResult"]
+__all__ = ["StreamReconciler", "StreamResult", "DeviceHandoff"]
+
+
+@dataclass
+class DeviceHandoff:
+    """Device-resident Bob->Alice batch handoff (see
+    :meth:`StreamReconciler.bob_step`).
+
+    Holds one entry per dispatched batch: ``(words_dev [B, N],
+    synd_dev [B, C], n_hat_dev [B, N_symb], take)`` — all jax device
+    arrays, padded to the reconciler's fixed batch with ``take`` real
+    frames.  The arrays pin device memory until :meth:`alice_step`
+    consumes them; in a real deployment Bob and Alice are distinct hosts
+    and the split ``bob_process``/``alice_process`` API is the faithful
+    boundary — this handle is the co-located-simulation fast path that
+    skips its structural device->host->device bounce (~20 MB per
+    DVB-S2 batch, the measured binder of the split API; DESIGN.md
+    round-5 lever 3)."""
+
+    batches: list = field(default_factory=list)
+    frames: int = 0
+
+
+def _make_pack_bits(N: int):
+    """[B, N] 0/1 int -> [B, ceil(N/8)] uint8 packer (little bitorder,
+    ``np.unpackbits(..., bitorder='little')``-compatible) — the
+    packed-word download trick of the fused/handoff paths (8x less
+    tunnel traffic than uint8-per-bit words)."""
+    npad = (-N) % 8
+    w_pack = jnp.asarray(np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.int32))
+
+    def pack_bits(bits_bn):
+        if npad:
+            bits_bn = jnp.concatenate(
+                [bits_bn,
+                 jnp.zeros((bits_bn.shape[0], npad), bits_bn.dtype)],
+                axis=1,
+            )
+        g = bits_bn.reshape(bits_bn.shape[0], -1, 8).astype(jnp.int32)
+        return jnp.sum(g * w_pack, axis=-1).astype(jnp.uint8)
+
+    return pack_bits
 
 
 @dataclass
@@ -195,9 +236,7 @@ class StreamReconciler:
             )
         return self._bob_run(yf, leave_pending=False)
 
-    def _bob_run(self, yf, leave_pending=False):
-        """Batch-blocked device processing of complete frames [F, N_symb]."""
-        F = yf.shape[0]
+    def _ensure_bob_jit(self):
         if self._bob_jit is None:
 
             def bob_round(nm, yf):
@@ -208,6 +247,12 @@ class StreamReconciler:
                 return words, synd, n_hat
 
             self._bob_jit = jax.jit(bob_round)
+        return self._bob_jit
+
+    def _bob_run(self, yf, leave_pending=False):
+        """Batch-blocked device processing of complete frames [F, N_symb]."""
+        F = yf.shape[0]
+        self._ensure_bob_jit()
 
         words_l, synd_l, nhat_l = [], [], []
 
@@ -421,6 +466,164 @@ class StreamReconciler:
             self._alice_pending = None
         return res
 
+    # -------------------------------------------- device-handoff step pair
+
+    def bob_step(self, y_block) -> DeviceHandoff:
+        """Bob's side with DEVICE-RESIDENT outputs: consume a block of
+        Bob's samples, return a :class:`DeviceHandoff` covering the
+        FULL batches that accumulated (may be empty).
+
+        Protocol-equivalent to :meth:`bob_process` — the same jitted
+        program computes the same (words, syndromes, softening metrics),
+        and the y carry buffer is shared — but nothing is read back to
+        the host: the outputs stay on device for :meth:`alice_step`,
+        skipping the split API's structural device->host->device bounce
+        (~20 MB per DVB-S2 batch — its measured binder; the fused driver
+        that avoids it holds 4.87M symbols/s vs the split API's 1.29M).
+        Completed frames queue until a full ``batch`` accumulates (the
+        stream_fused discipline: a padded partial batch costs the whole
+        batch's device work — the measured 27x defer-mode waste);
+        :meth:`bob_step_flush` drains the padded tail once at end of
+        stream.  Use the split ``bob_process``/``alice_process`` pair
+        when the two sides genuinely run on different hosts.  Not
+        available in defer mode (the deferred host queues would desync
+        from the handle's batches).
+        """
+        if self.defer:
+            raise ValueError(
+                "bob_step/alice_step require defer=False (bob_step "
+                "already queues to full batches; the deferred host "
+                "queues would desync from the handle's batches)"
+            )
+        y = np.concatenate(
+            [self._carry_y, np.asarray(y_block, np.float64).ravel()]
+        )
+        F = y.size // self.N_symb
+        self._carry_y = y[F * self.N_symb:]
+        if F:
+            self._bob_q = np.concatenate(
+                [self._bob_q, y[: F * self.N_symb].reshape(F, self.N_symb)],
+                axis=0,
+            )
+        P = (self._bob_q.shape[0] // self.batch) * self.batch
+        yf = self._bob_q[:P]
+        self._bob_q = self._bob_q[P:]
+        return self._bob_step_run(yf)
+
+    def bob_step_flush(self) -> DeviceHandoff:
+        """Drain Bob's queued frames into a final (padded) handoff batch.
+        No-op (empty handle) when nothing is queued."""
+        yf = self._bob_q
+        self._bob_q = np.empty((0, self.N_symb), np.float64)
+        return self._bob_step_run(yf)
+
+    def _bob_step_run(self, yf) -> DeviceHandoff:
+        bob = self._ensure_bob_jit()
+        hand = DeviceHandoff()
+        F = yf.shape[0]
+        for lo in range(0, F, self.batch):
+            hi = min(lo + self.batch, F)
+            take = hi - lo
+            blk = yf[lo:hi]
+            pad = self.batch - take
+            if pad:
+                blk = np.concatenate([blk, np.repeat(blk[-1:], pad, 0)])
+            w, s, nh = bob(self.nm, jnp.asarray(blk, self.nm.dtype))
+            hand.batches.append((w, s, nh, take))
+            hand.frames += take
+        return hand
+
+    def _ensure_alice_handoff_jit(self):
+        if getattr(self, "_alice_handoff_jit", None) is not None:
+            return self._alice_handoff_jit
+        llr_mode = self.llr_mode
+        if llr_mode == "table":
+            self.nm._ensure_llr_tab()   # before flatten
+        elif llr_mode == "poly":
+            self.nm._ensure_llr_poly()
+        pack_bits = _make_pack_bits(self.N)
+
+        def alice_handoff_round(nm, n_hat, x, synd, words, max_iter):
+            lappr = nm.demap_lappr_array(n_hat, x, mode=llr_mode)
+            if self.dec._decode_jit is None:
+                self.dec._decode_jit = self.dec._build_decode()
+            success, iters, total = self.dec._decode_jit(
+                lappr.T, synd.T, max_iter
+            )
+            alice_bits = (total.T < 0).astype(jnp.int32)
+            errs = jnp.sum(
+                jnp.bitwise_xor(alice_bits, words.astype(jnp.int32)),
+                axis=1,
+            )
+            return success, iters, errs, pack_bits(alice_bits)
+
+        self._alice_handoff_jit = jax.jit(alice_handoff_round)
+        return self._alice_handoff_jit
+
+    def alice_step(self, handoff: DeviceHandoff, x_block,
+                   max_iterations: int = 50) -> StreamResult:
+        """Alice's side consuming a :class:`DeviceHandoff`: LLR + decode
+        with Bob's (n_hat, synd, words) staying on device end to end.
+
+        ``x_block`` streams like :meth:`alice_process`'s (shared x carry
+        buffer) and must complete at least the handoff's frames; excess
+        symbols carry over.  Bit errors are counted ON DEVICE against
+        Bob's words and decoded words come back bit-packed (the
+        stream_fused download contract), so per batch only Alice's x
+        goes up and ~0.5 MB of packed words/counters comes down.
+        Consumed batches are released from the handle (device memory is
+        freed as soon as the readback lands).  Returns a StreamResult.
+        """
+        x = np.concatenate(
+            [self._carry_x, np.asarray(x_block, np.int64).ravel()]
+        )
+        Fh = handoff.frames
+        if x.size < Fh * self.N_symb:
+            raise ValueError(
+                f"x stream completes {x.size // self.N_symb} frames but "
+                f"the handoff carries {Fh}"
+            )
+        self._carry_x = x[Fh * self.N_symb:]
+        xf = x[: Fh * self.N_symb].reshape(Fh, self.N_symb)
+        jit = self._ensure_alice_handoff_jit()
+        idx_dt = np.uint8 if self.pa.order <= 256 else np.int32
+        res = StreamResult()
+        pending = None
+
+        def harvest(p):
+            (succ, iters, errs, packed), take = p
+            res.frames += take
+            res.success.extend(bool(v) for v in np.asarray(succ)[:take])
+            res.iterations.extend(
+                int(v) for v in np.asarray(iters)[:take]
+            )
+            res.bit_errors += int(np.asarray(errs)[:take].sum())
+            words = np.unpackbits(
+                np.asarray(packed)[:take], axis=1, bitorder="little"
+            )[:, : self.N]
+            res.decoded_words.extend(list(words))
+
+        lo = 0
+        for (w, s, nh, take) in handoff.batches:
+            xs = xf[lo:lo + take]
+            lo += take
+            pad = self.batch - take
+            if pad:
+                xs = np.concatenate([xs, np.repeat(xs[-1:], pad, 0)])
+            self.decode_dispatches += 1
+            out = jit(
+                self.nm, nh, jnp.asarray(xs.astype(idx_dt)), s, w,
+                jnp.int32(max_iterations),
+            )
+            if pending is not None:
+                harvest(pending)
+            pending = (out, take)
+        handoff.batches.clear()
+        handoff.frames = 0
+        if pending is not None:
+            harvest(pending)
+        return res
+
     # ------------------------------------------------- fused protocol path
 
     def _ensure_fused_jit(self):
@@ -439,23 +642,7 @@ class StreamReconciler:
             self.nm._ensure_llr_tab()
         elif llr_mode == "poly":
             self.nm._ensure_llr_poly()
-        N = self.N
-        npad = (-N) % 8
-        w_pack = jnp.asarray(
-            np.asarray([1, 2, 4, 8, 16, 32, 64, 128], np.int32)
-        )
-
-        def pack_bits(bits_bn):
-            """[B, N] 0/1 int32 -> [B, ceil(N/8)] uint8 (little bitorder,
-            np.unpackbits(..., bitorder='little')-compatible)."""
-            if npad:
-                bits_bn = jnp.concatenate(
-                    [bits_bn,
-                     jnp.zeros((bits_bn.shape[0], npad), bits_bn.dtype)],
-                    axis=1,
-                )
-            g = bits_bn.reshape(bits_bn.shape[0], -1, 8).astype(jnp.int32)
-            return jnp.sum(g * w_pack, axis=-1).astype(jnp.uint8)
+        pack_bits = _make_pack_bits(self.N)
 
         def fused_round(nm, y, x, max_iter):
             x_hat = nm.hard_decide_index(y)

@@ -33,6 +33,10 @@ def main():
                     help="use the one-program stream_fused driver "
                     "(device-resident Bob->Alice hand-off, packed-word "
                     "downloads)")
+    ap.add_argument("--handoff", type=int, default=0,
+                    help="use the bob_step/alice_step DEVICE-HANDOFF pair "
+                    "(split-call protocol structure, but Bob's outputs "
+                    "stay on device; defer is ignored)")
     args = ap.parse_args()
 
     import numpy as np
@@ -85,6 +89,44 @@ def main():
             "chunk_frames": args.chunk_frames, "fused": True,
             "snr_dB": args.snr, "success": sum(r.success),
             "bit_errors": r.bit_errors,
+            "dispatches": sr2.decode_dispatches,
+            "elapsed_s": round(elapsed, 2),
+            "symbols_per_s": round(F * N_symb / elapsed, 1),
+        }))
+        return
+
+    if args.handoff:
+        # step-pair driver: same misaligned-chunk protocol, but Bob's
+        # (words, synd, n_hat) ride the DeviceHandoff instead of the
+        # ~20 MB/batch host bounce.  Untimed warmup absorbs the compiles.
+        sr = StreamReconciler(dec, mat, pa, nm, batch=args.batch)
+        wf = args.batch * N_symb
+        h = sr.bob_step(y[:wf])
+        r = sr.alice_step(h, x[:wf], args.maxiter)
+        assert r.frames == args.batch
+        sr2 = StreamReconciler(dec, mat, pa, nm, batch=args.batch)
+        sr2._bob_jit = sr._bob_jit
+        sr2._alice_handoff_jit = sr._alice_handoff_jit
+        sr2.dec = sr.dec          # shares the built decode jit
+        t0 = time.perf_counter()
+        frames = bit_errors = succ = 0
+        for lo in range(0, F * N_symb, chunk):
+            hi = min(lo + chunk, F * N_symb)
+            h = sr2.bob_step(y[lo:hi])
+            r = sr2.alice_step(h, x[lo:hi], args.maxiter)
+            frames += r.frames
+            bit_errors += r.bit_errors
+            succ += sum(r.success)
+        h = sr2.bob_step_flush()
+        r = sr2.alice_step(h, np.empty(0, np.int64), args.maxiter)
+        frames += r.frames
+        bit_errors += r.bit_errors
+        succ += sum(r.success)
+        elapsed = time.perf_counter() - t0
+        print(json.dumps({
+            "frames": F, "decoded_frames": frames, "batch": args.batch,
+            "chunk_frames": args.chunk_frames, "handoff": True,
+            "snr_dB": args.snr, "success": succ, "bit_errors": bit_errors,
             "dispatches": sr2.decode_dispatches,
             "elapsed_s": round(elapsed, 2),
             "symbols_per_s": round(F * N_symb / elapsed, 1),

@@ -303,3 +303,66 @@ def test_stream_fused_frame_sharded_matches_single_device(chain):
     with pytest.raises(ValueError):
         StreamReconciler(dec, mat, pa, nm, batch=6,
                          mesh_axis=(mesh, "sdp"))
+
+
+# ---------------------------------------------------------------- handoff
+
+
+def test_handoff_matches_split_api(chain):
+    """bob_step/alice_step (device-resident handoff) produce exactly the
+    split API's results — same jitted math, no host bounce — including
+    device-counted bit_errors and packed-word downloads."""
+    dec, mat, pa, nm, sigma = chain
+    rng = np.random.default_rng(21)
+    n_frames, batch = 7, 3
+    sr1 = StreamReconciler(dec, mat, pa, nm, batch=batch)
+    S = sr1.N_symb
+    x = rng.integers(0, pa.order, n_frames * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+
+    w, s, nh = sr1.bob_process(y)
+    r_split = sr1.alice_process(nh, x, s, max_iterations=30, bob_words=w)
+
+    sr2 = StreamReconciler(dec, mat, pa, nm, batch=batch)
+    # irregular chunk boundary: the first call completes 2 frames (< one
+    # batch of 3 -> queued, empty handle), the second the rest; the
+    # padded tail (7 % 3 = 1 frame) drains through bob_step_flush
+    h1 = sr2.bob_step(y[: 2 * S + 7])
+    assert h1.frames == 0                        # queued, not dispatched
+    h2 = sr2.bob_step(y[2 * S + 7:])
+    assert h2.frames == (n_frames // batch) * batch
+    r1 = sr2.alice_step(h1, x[: 2 * S + 7], max_iterations=30)
+    r2 = sr2.alice_step(h2, x[2 * S + 7:], max_iterations=30)
+    h3 = sr2.bob_step_flush()
+    assert h3.frames == n_frames % batch
+    r3 = sr2.alice_step(h3, np.empty(0, np.int64), max_iterations=30)
+    assert not h2.batches and not h3.batches      # device memory released
+
+    succ = r1.success + r2.success + r3.success
+    iters = r1.iterations + r2.iterations + r3.iterations
+    words = r1.decoded_words + r2.decoded_words + r3.decoded_words
+    errs = r1.bit_errors + r2.bit_errors + r3.bit_errors
+    assert r1.frames + r2.frames + r3.frames == r_split.frames == n_frames
+    assert succ == r_split.success
+    assert iters == r_split.iterations
+    assert errs == r_split.bit_errors
+    for got, expect in zip(words, r_split.decoded_words):
+        np.testing.assert_array_equal(got, expect)
+
+
+def test_handoff_validation(chain):
+    """defer mode refuses the handoff pair; alice_step refuses an x
+    stream that cannot cover the handle's frames."""
+    dec, mat, pa, nm, sigma = chain
+    sr = StreamReconciler(dec, mat, pa, nm, batch=2, defer=True)
+    with pytest.raises(ValueError, match="defer"):
+        sr.bob_step(np.zeros(10))
+    sr = StreamReconciler(dec, mat, pa, nm, batch=2)
+    S = sr.N_symb
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, pa.order, 2 * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+    h = sr.bob_step(y)
+    assert h.frames == 2
+    with pytest.raises(ValueError, match="handoff carries"):
+        sr.alice_step(h, x[: S // 2], max_iterations=8)
