@@ -41,7 +41,11 @@ def main():
     ap.add_argument("--zchunk", type=int, default=0, help="0 = auto")
     ap.add_argument("--ira", type=int, default=0,
                     help="1 = irregular QC-IRA code (bench.py's 1b config: "
-                    "nb_info=18, nb_acc=18, dv=3 — mixed check degrees)")
+                    "nb_info/nb_acc = nbv/2 each, dv=3 — mixed degrees)")
+    ap.add_argument("--nbv", type=int, default=36,
+                    help="variable BLOCKS; z = n/nbv.  nbv=180 probes the "
+                    "true DVB-S2 shape regime (z=360, 90 check "
+                    "block-rows) vs the default z=1800/18-row bench code")
     ap.add_argument("--rowgroup", type=int, default=-1,
                     help="resident_rowgroup: -1 auto, 0 off, >=2 cap")
     args = ap.parse_args()
@@ -57,15 +61,17 @@ def main():
             QCDecoder, make_qc_ldpc,
         )
 
-        z = args.n // 36
+        z = args.n // args.nbv
         if args.ira:
             from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
 
             base, vid, cid = make_qc_ira(
-                nb_info=18, nb_acc=18, z=z, dv=3, seed=12345
+                nb_info=args.nbv // 2, nb_acc=args.nbv // 2, z=z, dv=3,
+                seed=12345,
             )
         else:
-            base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
+            base, vid, cid = make_qc_ldpc(args.nbv, z, dv=3, dc=6,
+                                          seed=12345)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas),
                         check_rule=args.check, schedule=args.schedule,
                         resident=bool(args.resident),
@@ -109,7 +115,7 @@ def main():
         dbl, tf32 = dec._resident_layout(args.batch)
         extras = {"resident_double": dbl, "totals_f32": tf32}
     print(json.dumps({
-        "n": args.n, "batch": args.batch, "qc": args.qc,
+        "n": args.n, "nbv": args.nbv, "batch": args.batch, "qc": args.qc,
         "pallas": args.pallas, "dtype": args.dtype, "check": args.check,
         "schedule": args.schedule, "resident": args.resident,
         "phi": args.phi, "resident_chunk": args.resident_chunk,
