@@ -303,7 +303,8 @@ def main():
     # ---- 1b. irregular-QC decode probe (VERDICT r4 item 2) ----------------
     # Real standard codes (DVB-S2/5G) are IRREGULAR; record that the fast
     # paths carry mixed check degrees at comparable throughput, same
-    # protocol as the regular probe.  QC-IRA construction: dc in {5, 6}.
+    # protocol as the regular probe.  QC-IRA construction: config-model
+    # info part + staircase accumulator, mixed check degrees ~[4, 10].
     if USE_QC and not SKIP_DECODE and SCHEDULE == "flooding":
         from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
 

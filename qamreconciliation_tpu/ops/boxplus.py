@@ -30,6 +30,7 @@ __all__ = [
     "check_node_minsum",
     "check_node_minsum_sm",
     "check_node_tanhfb_sm",
+    "fb_allbutone_list",
     "var_node_update",
     "MINSUM_ALPHA",
     "minsum_mag",
@@ -306,21 +307,33 @@ def tanhfb_extrinsic_mag(absm, axis: int):
     e = jnp.exp(-x)
     pm = [1.0 - e[d] for d in range(dc)]         # 1 - e_j in [0, 1)
     qm = [1.0 + e[d] for d in range(dc)]         # 1 + e_j in (1, 2]
-
-    def _allbutone(terms):
-        F = [terms[0]]
-        for d in range(1, dc):
-            F.append(F[-1] * terms[d])
-        Bk = [terms[dc - 1]]
-        for d in range(dc - 2, -1, -1):
-            Bk.append(Bk[-1] * terms[d])
-        Bk = Bk[::-1]
-        return jnp.stack(
-            [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, dc - 1)]
-            + [F[dc - 2]]
-        )
-
-    P = _allbutone(pm)
-    Q = _allbutone(qm)
+    P = jnp.stack(fb_allbutone_list(pm)[0])
+    Q = jnp.stack(fb_allbutone_list(qm)[0])
     mag = jnp.log((Q + P) / jnp.maximum(Q - P, 6e-8 * Q))
     return jnp.moveaxis(mag, 0, axis)
+
+
+def fb_allbutone_list(terms):
+    """All-but-one products of a list of same-shape arrays via forward/
+    backward prefix chains — the single source of truth for the P/Q
+    product order, shared by :func:`tanhfb_extrinsic_mag` and the
+    row-grouped resident kernel (ops/pallas_kernels._grouped_row), so
+    grouped and ungrouped tanh-F/B paths cannot silently diverge.
+
+    Returns ``(allbutone, full)``: ``allbutone[i] = prod_{j != i}
+    terms[j]`` (length-1 input gives the neutral ``[ones]``) and
+    ``full = prod_j terms[j]``.
+    """
+    n = len(terms)
+    if n == 1:
+        return [jnp.ones_like(terms[0])], terms[0]
+    F = [terms[0]]
+    for d in range(1, n):
+        F.append(F[-1] * terms[d])
+    Bk = [terms[n - 1]]
+    for d in range(n - 2, -1, -1):
+        Bk.append(Bk[-1] * terms[d])
+    Bk = Bk[::-1]
+    out = [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, n - 1)] \
+        + [F[n - 2]]
+    return out, F[n - 1]

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from .boxplus import (
-    MINSUM_ALPHA, minsum_extrinsic_mag, minsum_mag, phi_llr,
-    tanhfb_extrinsic_mag,
+    MINSUM_ALPHA, fb_allbutone_list as _fb_allbutone_list,
+    minsum_extrinsic_mag, minsum_mag, phi_llr, tanhfb_extrinsic_mag,
 )
 
 try:  # TPU-only module; tests on CPU use interpret mode
@@ -479,25 +479,6 @@ def _split_row(dcr: int, cap: int | None):
     return spans
 
 
-def _fb_allbutone_list(terms):
-    """All-but-one products of a list of same-shape arrays via forward/
-    backward chains (the P/Q factorization of ops.boxplus.
-    tanhfb_extrinsic_mag, list form).  Returns ``(allbutone, full)``."""
-    n = len(terms)
-    if n == 1:
-        return [jnp.ones_like(terms[0])], terms[0]
-    F = [terms[0]]
-    for d in range(1, n):
-        F.append(F[-1] * terms[d])
-    Bk = [terms[n - 1]]
-    for d in range(n - 2, -1, -1):
-        Bk.append(Bk[-1] * terms[d])
-    Bk = Bk[::-1]
-    out = [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, n - 1)] \
-        + [F[n - 2]]
-    return out, F[n - 1]
-
-
 def resident_vmem_bytes(nb_v: int, nb_c: int, e_base: int, z: int, B: int,
                         dtype, *, doubled: bool = True,
                         totals_f32: bool = False) -> int:
@@ -932,12 +913,13 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 f"no legal resident z-chunking for z={z}, B={B}"
             )
         nzc = z // ZC
-        grouped = cap is not None and any(len(r) > cap for r in rows)
+        # cap is already forced < dc_max above, and the row attaining
+        # dc_max always splits — so a non-None cap implies grouped rows
+        grouped = cap is not None
         if grouped:
             n_scr = 2 if (rule != "minsum" and phi_impl == "tanhfb") else 1
             dc_scr = max(len(r) for r in rows if len(r) > cap)
         else:
-            cap = None
             n_scr = 0
         kernel = _make_kernel(ZC, nzc, cap, n_scr)
         state_bytes = resident_vmem_bytes(
@@ -949,7 +931,12 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
             zp = -(-ZC // 8) * 8
             bp_ = -(-B // 128) * 128
             state_bytes += n_scr * dc_scr * zp * bp_ * 4
-        vlimit = min(int(state_bytes + 40 * 2**20), 128 * 2**20)
+        # 48 MiB headroom for Mosaic's per-block temporaries and spill
+        # slots, capped at the v5e's 128 MiB: the z=360 IRA code (539
+        # base edges, 90 block-rows) measured 125.95 MiB of scoped
+        # allocation — 1 MiB over the previous 40 MiB-headroom limit,
+        # comfortably under the hardware ceiling
+        vlimit = min(int(state_bytes + 48 * 2**20), 128 * 2**20)
         any_spec = pl.BlockSpec(memory_space=pl.ANY)
         smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
         vmem_spec = pl.BlockSpec(memory_space=_VMEM)

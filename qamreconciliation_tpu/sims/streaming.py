@@ -202,6 +202,14 @@ class StreamReconciler:
         ONE compiled program — per-shape retraces cost minutes on
         remote-compile TPU backends.
         """
+        if not self.defer and self._bob_q.shape[0]:
+            # frames queued by bob_step would be silently skipped (and
+            # later dispatched out of stream order) by the immediate path
+            raise ValueError(
+                "bob_process(defer=False) after bob_step left queued "
+                "frames; drain them with bob_step_flush() first (or stay "
+                "on one API per reconciler)"
+            )
         y = np.concatenate([self._carry_y, np.asarray(y_block, np.float64).ravel()])
         F = y.size // self.N_symb
         self._carry_y = y[F * self.N_symb:]
@@ -571,14 +579,19 @@ class StreamReconciler:
         Bob's words and decoded words come back bit-packed (the
         stream_fused download contract), so per batch only Alice's x
         goes up and ~0.5 MB of packed words/counters comes down.
-        Consumed batches are released from the handle (device memory is
-        freed as soon as the readback lands).  Returns a StreamResult.
+        Batches are popped from the handle at dispatch, so peak device
+        pinning stays ~one batch plus the in-flight outputs rather than
+        the whole handle.  Returns a StreamResult.
         """
         x = np.concatenate(
             [self._carry_x, np.asarray(x_block, np.int64).ravel()]
         )
         Fh = handoff.frames
         if x.size < Fh * self.N_symb:
+            # absorb x_block into the carry BEFORE raising so the error
+            # is recoverable: a retry with the missing tail symbols
+            # resumes the aligned stream instead of silently desyncing
+            self._carry_x = x
             raise ValueError(
                 f"x stream completes {x.size // self.N_symb} frames but "
                 f"the handoff carries {Fh}"
@@ -604,7 +617,12 @@ class StreamReconciler:
             res.decoded_words.extend(list(words))
 
         lo = 0
-        for (w, s, nh, take) in handoff.batches:
+        while handoff.batches:
+            # pop at dispatch so each batch's device arrays are released
+            # as soon as its program is in flight (peak pinning stays
+            # ~one batch + the pipelined pending outputs, not the handle)
+            w, s, nh, take = handoff.batches.pop(0)
+            handoff.frames -= take
             xs = xf[lo:lo + take]
             lo += take
             pad = self.batch - take
@@ -618,8 +636,6 @@ class StreamReconciler:
             if pending is not None:
                 harvest(pending)
             pending = (out, take)
-        handoff.batches.clear()
-        handoff.frames = 0
         if pending is not None:
             harvest(pending)
         return res

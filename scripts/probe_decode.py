@@ -56,6 +56,10 @@ def main():
     np.asarray(jnp.zeros((8, 8)) + 1)  # untimed first-op tunnel warmup
 
     dt = jnp.dtype(args.dtype)
+    if args.n % args.nbv:
+        sys.exit(f"--n {args.n} must be divisible by --nbv {args.nbv}")
+    if args.ira and args.nbv % 2:
+        sys.exit("--ira needs an even --nbv (nb_info = nb_acc = nbv/2)")
     if args.qc:
         from qamreconciliation_tpu.models.qc_decoder import (
             QCDecoder, make_qc_ldpc,

@@ -366,3 +366,26 @@ def test_handoff_validation(chain):
     assert h.frames == 2
     with pytest.raises(ValueError, match="handoff carries"):
         sr.alice_step(h, x[: S // 2], max_iterations=8)
+
+
+def test_handoff_mixing_and_recovery_guards(chain):
+    """Review regressions: bob_process(defer=False) refuses to run past
+    frames queued by bob_step (silent reordering hazard), and the
+    alice_step x-shortfall error absorbs x_block into the carry so a
+    retry with the missing tail resumes the aligned stream."""
+    dec, mat, pa, nm, sigma = chain
+    sr = StreamReconciler(dec, mat, pa, nm, batch=2)
+    S = sr.N_symb
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, pa.order, 2 * S)
+    y = pa.constellation[x] + sigma * rng.standard_normal(x.size)
+    sr.bob_step(y[:S])                  # 1 frame queued (< batch)
+    with pytest.raises(ValueError, match="bob_step_flush"):
+        sr.bob_process(y[S:])
+    sr2 = StreamReconciler(dec, mat, pa, nm, batch=2)
+    h = sr2.bob_step(y)                 # full batch of 2
+    with pytest.raises(ValueError, match="handoff carries"):
+        sr2.alice_step(h, x[: S + 3], max_iterations=8)
+    # retry with ONLY the missing tail: carry absorbed the first chunk
+    r = sr2.alice_step(h, x[S + 3:], max_iterations=8)
+    assert r.frames == 2 and all(r.success)
