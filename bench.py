@@ -374,6 +374,59 @@ def main():
         log(f"irregular-QC decode: {i_ms:.3f} ms/iter")
         del idec, fi, i_lappr, i_synd
 
+    # ---- 1c. true-DVB-S2-shape probe (z = N/180: the standard's own
+    # lifting — 180 variable / 90 check block-rows at N=64800).  Measured
+    # the resident kernel's BEST shape (0.504 ms/iter irregular tanh-F/B
+    # vs 0.567 at the z=1800 stand-in, BASELINE.md round 4); the z=1800
+    # rows above stay for round-over-round comparability.  Gated on
+    # N % 180 == 0; BENCH_TRUE_SHAPE=0 skips.
+    if (USE_QC and not SKIP_DECODE and SCHEDULE == "flooding"
+            and resident and N_CODE % 180 == 0
+            and os.environ.get("BENCH_TRUE_SHAPE", "1") == "1"):
+        from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
+
+        t_z = N_CODE // 180
+        t_base, t_vid, t_cid = make_qc_ira(
+            nb_info=90, nb_acc=90, z=t_z, dv=3, seed=12345
+        )
+        tdec = QCDecoder(t_base, t_z, dtype=dt, use_pallas=PALLAS,
+                         check_rule=CHECK_RULE, resident=True,
+                         resident_chunk=RESIDENT_CHUNK,
+                         totals_dtype=TOTALS)
+        rng = np.random.default_rng(0)
+        t_lappr = jnp.asarray(rng.normal(0, 3.0, (tdec.vnum, BATCH)), dt)
+        t_synd = jnp.asarray(
+            rng.integers(0, 2, (tdec.cnum, BATCH)), jnp.int32
+        )
+        ft = tdec._build_decode()
+        t0 = time.perf_counter()
+        try:
+            out = ft(t_lappr, t_synd, jnp.int32(MAX_ITER))
+            np.asarray(out[1])
+            log(f"true-shape compile+first: {time.perf_counter() - t0:.1f}s")
+            t_rep_ms = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                out = ft(t_lappr, t_synd, jnp.int32(probe_iters))
+                np.asarray(out[1])
+                t_rep_ms.append((time.perf_counter() - t0) * 1e3)
+            t_ms = min(t_rep_ms) / probe_iters
+            extras["true_shape_qc"] = {
+                "code": f"qc-ira dv=3 z={t_z} N={tdec.vnum} "
+                        f"(DVB-S2 lifting shape)",
+                "decode_ms_per_iter": round(t_ms, 3),
+                "decode_frames_per_s": round(
+                    BATCH / (t_ms * MAX_ITER) * 1e3, 1
+                ),
+                "resident": True,
+            }
+            log(f"true-shape decode: {t_ms:.3f} ms/iter")
+        except Exception as e:
+            # never break the one-JSON-line contract on a probe failure
+            log(f"true-shape probe failed ({type(e).__name__}); skipping")
+            extras["true_shape_qc"] = {"error": type(e).__name__}
+        del tdec, ft, t_lappr, t_synd
+
     # ---- 2. headline end-to-end round (decode-bound regime) ---------------
     nmcfg = np.zeros(pa.order, np.uint8)
     kw = dict(nmconfig=nmcfg) if MODE == "softening" else {}
@@ -449,9 +502,14 @@ def main():
     check2 = os.environ.get("BENCH_CHECK2", "minsum")
     if check2 != "none" and check2 != CHECK_RULE and MODE == "softening":
         if USE_QC:
+            # `and bool(resident)`: if step 1's resident kernel failed to
+            # compile at this shape and fell back to dense, don't rebuild
+            # a resident decoder here (this section has no fallback; the
+            # z=450 smoke shape used to die at the first run_point)
             dec2 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
                              check_rule=check2,
-                             resident=bool(resident_for(check2)))
+                             resident=bool(resident_for(check2))
+                             and bool(resident))
         else:
             dec2 = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS,
                            check_rule=check2)

@@ -463,7 +463,34 @@ class QCDecoder:
             tdtype = jnp.float32 if totals_f32 else dtype
             prior = prior_vb.astype(dtype).reshape(nb_v, z, B)
             synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
+            # TPU tile alignment (e.g. the z=450 / B=32 bench-smoke
+            # shape): every in-kernel ref access must be full-width on
+            # the two tiled dims, so the state arrays carry zp 32-aligned
+            # rows AND Bp 128-aligned lanes end to end.  Pad rows are
+            # zeros (never read back); pad LANES are zero-prior frames —
+            # their all-zero totals satisfy the all-zero syndrome, so
+            # they converge at the first test and freeze, costing no
+            # extra iterations.  Both trims happen after the loop.
+            from ..ops.pallas_kernels import resident_zpad
+
+            zp = resident_zpad(z)
+            Bp = -(-B // 128) * 128
+            if zp != z:
+                prior = jnp.concatenate([
+                    prior, jnp.zeros((nb_v, zp - z, B), prior.dtype)
+                ], axis=1)
             synd8 = synd.astype(jnp.int8)
+            if zp != z:
+                synd8 = jnp.concatenate([
+                    synd8, jnp.zeros((nb_c, zp - z, B), jnp.int8)
+                ], axis=1)
+            if Bp != B:
+                prior = jnp.concatenate([
+                    prior, jnp.zeros((nb_v, zp, Bp - B), prior.dtype)
+                ], axis=2)
+                synd8 = jnp.concatenate([
+                    synd8, jnp.zeros((nb_c, zp, Bp - B), jnp.int8)
+                ], axis=2)
             maxi = jnp.full((1, 1), max_iterations, jnp.int32)
 
             def cond(state):
@@ -483,15 +510,16 @@ class QCDecoder:
             init = (
                 jnp.int32(0),
                 prior.astype(tdtype),
-                jnp.zeros((E, z, B), dtype),
-                jnp.zeros((8, B), jnp.int32),
-                jnp.zeros((8, B), jnp.int32),
+                jnp.zeros((E, zp, Bp), dtype),
+                jnp.zeros((8, Bp), jnp.int32),
+                jnp.zeros((8, Bp), jnp.int32),
             )
             it, total, _, done8, iters8 = jax.lax.while_loop(
                 cond, body, init
             )
-            done = done8[0] > 0
-            iters = iters8[0]
+            total = total[:, :z, :B]      # drop the zp/Bp alignment pads
+            done = done8[0, :B] > 0
+            iters = iters8[0, :B]
             # post-loop consistency check: frames converging at the very
             # last variable update (same tail as _build_dense).  total IS
             # final for every frame: frozen at convergence for done frames,

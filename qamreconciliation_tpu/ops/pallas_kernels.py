@@ -465,6 +465,16 @@ def _pick_rowgroup(z: int, B: int, dc_max: int) -> int | None:
     return best[1]
 
 
+def resident_zpad(z: int) -> int:
+    """Padded row count of the resident decode state when z is not
+    8-sublane-aligned (e.g. z=450): every in-kernel ref access must be
+    full-width on the sublane dim, so the HOST pads the state arrays to
+    a 32-aligned row count (32 covers every state dtype's sublane tile:
+    f32 8, bf16 16, int8 32) and the kernel trims/pads at value level.
+    Returns z unchanged when already 8-aligned."""
+    return z if z % 8 == 0 else -(-z // 32) * 32
+
+
 def _split_row(dcr: int, cap: int | None):
     """Balanced (d0, d1) subgroup spans covering range(dcr)."""
     if cap is None or dcr <= cap:
@@ -596,7 +606,26 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         roll(x, s)[j] = x[(j - s) % z], so the chunk is the contiguous
         (mod z) source window starting at (j0 - s) % z.  With ``span=2*z``
         (the doubled-totals buffer) the window never wraps: start <= z-1
-        and ZCk <= z, so start + ZCk <= 2z-1 — always one slice."""
+        and ZCk <= z, so start + ZCk <= 2z-1 — always one slice.
+
+        z % 8 != 0 (e.g. the z=450 N=16200 smoke shape): ANY ref slice
+        whose sublane length is not the (physically padded) full dim or
+        an 8-multiple is an illegal memref op on TPU — including a
+        "full" [0:z] read of a z-row ref, whose memref is padded.  The
+        whole state therefore rides zp = 32-aligned padded rows (padded
+        host-side, see qc_decoder._build_resident), every ref access is
+        full-width, and the roll happens at VALUE level: load [zp, B],
+        trim to the z valid rows, static two-piece concat.  Only
+        reachable in the whole-z chunk regime (step() rejects z % 8
+        with nzc > 1), where the full-slab value is small enough not to
+        re-enter the measured value-liveness spill regime of
+        DVB-S2-scale slabs."""
+        if not aligned:
+            v = slab_ref[:][0:z]
+            sh = s % z
+            if sh == 0:
+                return v
+            return jnp.concatenate([v[z - sh:], v[:z - sh]], axis=0)
         start = (j0 - s) % z
         if start + ZCk <= span:
             return slab_ref[start:start + ZCk]
@@ -604,7 +633,12 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         return jnp.concatenate([head, slab_ref[0:start + ZCk - span]], axis=0)
 
     tot_dtype = jnp.float32 if totals_f32 else None  # None = storage dtype
-    tot_span = 2 * z if doubled else z
+    # zp: the padded row count of the whole resident state when z is not
+    # 8-sublane-aligned (callers pad the HBM state arrays to match —
+    # qc_decoder._build_resident); z itself when aligned.
+    aligned = z % 8 == 0
+    zp = resident_zpad(z)
+    tot_span = 2 * z if doubled else zp
 
     def _make_kernel(ZC, nzc, cap, n_scr):
         def _grouped_row(cb, row, e0, grps, zc, sl, synd_i, pref,
@@ -739,10 +773,14 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
             tdtype = total_s.dtype
             # ---- load state into VMEM (one DMA each; totals land in
             # both halves of the doubled buffer) ----
+            # the partial-dim scratch slice is only needed for the
+            # doubled-totals layout; undoubled uses the full ref — a
+            # [:, 0:z] slice DMA requires z % 8 == 0 sublane alignment
+            # (Mosaic rejects e.g. the z=450 smoke shape), while full-ref
+            # DMAs carry any z
+            tslab = total_s.at[:, 0:z] if doubled else total_s
             loads = [
-                pltpu.make_async_copy(
-                    total_in, total_s.at[:, 0:z], sems.at[0]
-                ),
+                pltpu.make_async_copy(total_in, tslab, sems.at[0]),
                 pltpu.make_async_copy(c2v_in, c2v_s, sems.at[1]),
                 pltpu.make_async_copy(prior_in, prior_s, sems.at[2]),
                 pltpu.make_async_copy(synd_in, synd_s, sems.at[3]),
@@ -757,6 +795,39 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 d_.wait()
             done_s[:] = done_in[:]
             iters_s[:] = iters_in[:]
+
+            # unaligned-z (zp > z) ref access helpers: every ref access
+            # stays full-width on the padded sublane dim, with the trim to
+            # the z valid rows / the zero-pad back happening at VALUE
+            # level (see _read_rolled_chunk's docstring).  Identity-cost
+            # when aligned.
+            def read_row(ref, i, sl):
+                """ref[i, sl] ([len(sl), B])."""
+                if aligned:
+                    return ref[i, sl]
+                return ref[i][0:z]
+
+            def read_rows(ref, r0, r1, sl):
+                """ref[r0:r1, sl] ([r1-r0, len(sl), B])."""
+                if aligned:
+                    return ref[r0:r1, sl]
+                return ref[r0:r1][:, 0:z]
+
+            def write_rows(ref, r0, r1, sl, val):
+                if aligned:
+                    ref[r0:r1, sl] = val
+                else:
+                    pad = jnp.zeros(
+                        (val.shape[0], zp - z, val.shape[2]), val.dtype
+                    )
+                    ref[r0:r1] = jnp.concatenate([val, pad], axis=1)
+
+            def write_row(ref, i, sl, val):
+                if aligned:
+                    ref[i, sl] = val
+                else:
+                    pad = jnp.zeros((zp - z, val.shape[1]), val.dtype)
+                    ref[i] = jnp.concatenate([val, pad], axis=0)
 
             # dynamic trip count instead of a predicated body: iterations past
             # maxiter simply don't run (predicating the whole body with
@@ -786,7 +857,7 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                     # doubled buffer each read is a single static slice
                     for zc in range(nzc):
                         sl = slice(zc * ZC, (zc + 1) * ZC)
-                        synd_i = synd_s[cb, sl].astype(jnp.int32)
+                        synd_i = read_row(synd_s, cb, sl).astype(jnp.int32)
                         pref = (1 - 2 * synd_i).astype(jnp.float32)[None]
                         if len(grps) > 1:
                             _grouped_row(cb, row, e0, grps, zc, sl,
@@ -805,7 +876,9 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         viol_s[cb * nzc + zc] = jnp.broadcast_to(
                             cnt[None, :], (8, cnt.shape[0])
                         )
-                        v2c = t - c2v_s[e0:e0 + dcr, sl].astype(jnp.float32)
+                        v2c = t - read_rows(c2v_s, e0, e0 + dcr, sl).astype(
+                            jnp.float32
+                        )
                         if rule == "minsum":
                             mag = minsum_mag(
                                 minsum_extrinsic_mag(jnp.abs(v2c), 0),
@@ -835,9 +908,8 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                         sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(
                             jnp.float32
                         )
-                        c2v_s[e0:e0 + dcr, sl] = (
-                            sign * pref * mag
-                        ).astype(dtype)
+                        write_rows(c2v_s, e0, e0 + dcr, sl,
+                                   (sign * pref * mag).astype(dtype))
 
                 # ---- bookkeeping: iters / done ----
                 conv = (jnp.sum(viol_s[:], axis=0) == 0).astype(
@@ -866,10 +938,11 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                                 c2v_s.at[eidx], -s, zc * ZC, ZC
                             ).astype(jnp.float32)
                             acc = slab if acc is None else acc + slab
-                        pr = prior_s[vb, sl].astype(jnp.float32)
+                        pr = read_row(prior_s, vb, sl).astype(jnp.float32)
                         new = (pr if acc is None else pr + acc).astype(tdtype)
-                        val = jnp.where(frozen, total_s[vb, sl], new)
-                        total_s[vb, sl] = val
+                        val = jnp.where(frozen, read_row(total_s, vb, sl),
+                                        new)
+                        write_row(total_s, vb, sl, val)
                         if doubled:
                             total_s[vb, z + zc * ZC:z + (zc + 1) * ZC] = val
 
@@ -877,11 +950,9 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
 
             jax.lax.fori_loop(0, n_it, one_iteration, ())
 
-            # ---- store state back ----
+            # ---- store state back (tslab: full ref unless doubled) ----
             stores = [
-                pltpu.make_async_copy(
-                    total_s.at[:, 0:z], total_out, sems.at[0]
-                ),
+                pltpu.make_async_copy(tslab, total_out, sems.at[0]),
                 pltpu.make_async_copy(c2v_s, c2v_out, sems.at[1]),
             ]
             for d_ in stores:
@@ -906,6 +977,11 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
             cap = int(row_group) or None
         if cap is not None and cap >= dc_max:
             cap = None
+        if not aligned:
+            # the grouped path's scratch slices assume aligned z; the
+            # unaligned regime is whole-z-chunk anyway (no chunk-count
+            # pressure for grouping to relieve)
+            cap = None
         dc_eff = cap if cap is not None else dc_max
         ZC = z_chunk or _pick_zchunk(z, B=B, dc=dc_eff)
         if ZC is None or z % ZC:
@@ -913,6 +989,21 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
                 f"no legal resident z-chunking for z={z}, B={B}"
             )
         nzc = z // ZC
+        if z % 8 and nzc > 1:
+            # unaligned z forces the whole-z value-roll read path (see
+            # _read_rolled_chunk); chunked ref slices of non-8-multiple
+            # length cannot be expressed
+            raise ValueError(
+                f"resident decode with z % 8 != 0 (z={z}) requires a "
+                f"single whole-z chunk; got ZC={ZC}"
+            )
+        if doubled and z % 8:
+            # the doubled buffer's [:, 0:z] / [:, z:2z] half-slice DMAs
+            # need 8-sublane alignment (see the kernel's tslab note)
+            raise ValueError(
+                f"doubled totals require z % 8 == 0 (z={z}); use the "
+                "default undoubled layout"
+            )
         # cap is already forced < dc_max above, and the row attaining
         # dc_max always splits — so a non-None cap implies grouped rows
         grouped = cap is not None
@@ -928,9 +1019,9 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         )
         if grouped:
             # f32 row-group scratch, tile-padded like the state model
-            zp = -(-ZC // 8) * 8
+            zc_pad = -(-ZC // 8) * 8
             bp_ = -(-B // 128) * 128
-            state_bytes += n_scr * dc_scr * zp * bp_ * 4
+            state_bytes += n_scr * dc_scr * zc_pad * bp_ * 4
         # 48 MiB headroom for Mosaic's per-block temporaries and spill
         # slots, capped at the v5e's 128 MiB: the z=360 IRA code (539
         # base edges, 90 block-rows) measured 125.95 MiB of scoped
@@ -954,9 +1045,9 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
             scratch_shapes=[
                 pltpu.VMEM((nb_v, tot_span, B),
                            tot_dtype or dtype),           # total_s
-                pltpu.VMEM((E, z, B), dtype),             # c2v_s (flat)
-                pltpu.VMEM((nb_v, z, B), dtype),          # prior_s
-                pltpu.VMEM((nb_c, z, B), jnp.int8),       # synd_s
+                pltpu.VMEM((E, zp, B), dtype),            # c2v_s (flat)
+                pltpu.VMEM((nb_v, zp, B), dtype),         # prior_s
+                pltpu.VMEM((nb_c, zp, B), jnp.int8),      # synd_s
                 pltpu.VMEM((8, B), jnp.int32),            # done_s
                 pltpu.VMEM((8, B), jnp.int32),            # iters_s
                 pltpu.VMEM((nb_c * nzc, 8, B), jnp.int32),  # viol_s

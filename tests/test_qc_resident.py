@@ -380,3 +380,29 @@ def test_rowgroup_auto_policy_and_validation():
     base, _, _ = make_qc_ldpc(12, 16, dv=3, dc=6, seed=4)
     with pytest.raises(ValueError, match="resident_rowgroup"):
         QCDecoder(base, 16, resident=True, resident_rowgroup=1)
+
+
+def test_resident_unaligned_z_and_doubled_guard():
+    """z not divisible by 8 (e.g. the z=450 N=16200 bench-smoke shape)
+    must work in the default undoubled layout — the state DMAs use full
+    refs, not [:, 0:z] slices (Mosaic rejects sublane-misaligned slice
+    DMAs) — while the doubled layout, whose half-slice DMAs genuinely
+    need the alignment, refuses loudly."""
+    base, vid, cid = make_qc_ldpc(12, 12, dv=3, dc=6, seed=8)
+    dense = QCDecoder(base, 12, dtype=jnp.float32, use_pallas=False,
+                      check_rule="minsum")
+    res = QCDecoder(base, 12, dtype=jnp.float32, check_rule="minsum",
+                    resident=True, resident_chunk=4)
+    mat = Matrix(vid, cid)
+    rng = np.random.default_rng(2)
+    word = rng.integers(0, 2, (6, 12 * 12))
+    synd = np.asarray(mat.eval_syndrome(word))
+    llr = (1 - 2 * word) * 3.0 + rng.normal(0, 1.5, word.shape)
+    s1, i1, f1 = dense.decode_batch(llr, synd, 25)
+    s2, i2, f2 = res.decode_batch(llr, synd, 25)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    dbl = QCDecoder(base, 12, dtype=jnp.float32, check_rule="minsum",
+                    resident=True, resident_chunk=4, resident_double=True)
+    with pytest.raises(ValueError, match="z % 8"):
+        dbl.decode_batch(llr, synd, 25)
