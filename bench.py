@@ -47,7 +47,10 @@ iterations to converge]), BENCH_SCHED2 (secondary schedule measured at
 the waterfall point with min-sum; default layered, "none" to skip),
 BENCH_RESIDENT (VMEM-resident decode kernel: auto [on for QC sum-product
 flooding at realistic scale], 1 force, 0 off), BENCH_TANHFB=0 (skip the
-dense tanh-F/B sum-product block).
+dense tanh-F/B sum-product block), BENCH_NBV (variable blocks of the QC
+code, z = N/nbv; default 36 = the z=1800 round-comparable shape, 180 =
+the z=360 lifting real DVB-S2 ships), BENCH_TRUE_SHAPE=0 (skip the
+z=N/180 true-shape decode row).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -59,6 +62,11 @@ import sys
 import time
 
 N_CODE = int(os.environ.get("BENCH_N", 64800))
+# variable BLOCKS of the QC benchmark code; z = N/nbv.  Default 36
+# (z=1800) for round-over-round comparability; 180 gives the z=360
+# lifting real DVB-S2 ships — the resident kernel's best measured shape
+# (0.524/0.504 ms/iter regular/irregular vs 0.567 at z=1800, BASELINE.md)
+NBV = int(os.environ.get("BENCH_NBV", 36))
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
 USE_QC = os.environ.get("BENCH_QC", "1") == "1"
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.5))
@@ -143,12 +151,13 @@ def main():
             QCDecoder, make_qc_ldpc,
         )
 
-        if N_CODE % 36:
+        if N_CODE % NBV or NBV % 2:
             raise SystemExit(
-                f"BENCH_QC=1 needs BENCH_N divisible by 36, got {N_CODE}"
+                f"BENCH_QC=1 needs BENCH_N divisible by even BENCH_NBV, "
+                f"got N={N_CODE} nbv={NBV}"
             )
-        z = N_CODE // 36
-        base, vid, cid = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
+        z = N_CODE // NBV
+        base, vid, cid = make_qc_ldpc(NBV, z, dv=3, dc=6, seed=12345)
         from qamreconciliation_tpu.ops.pallas_kernels import (
             resident_vmem_bytes,
         )
@@ -159,8 +168,8 @@ def main():
         resident_fits = (
             SCHEDULE == "flooding"
             and jax.default_backend() == "tpu"
-            and z >= 256 and BATCH >= 32
-            and resident_vmem_bytes(36, 18, 108, z, BATCH, dt,
+            and z >= 90 and BATCH >= 32
+            and resident_vmem_bytes(NBV, NBV // 2, 3 * NBV, z, BATCH, dt,
                                     doubled=False)
             + 28 * 2 ** 20 <= 128 * 2 ** 20
         )
@@ -309,7 +318,7 @@ def main():
         from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
 
         i_base, i_vid, i_cid = make_qc_ira(
-            nb_info=18, nb_acc=18, z=z, dv=3, seed=12345
+            nb_info=NBV // 2, nb_acc=NBV // 2, z=z, dv=3, seed=12345
         )
         # The IRA code's mixed degrees reach dc~10; the ROW-GROUPED pass 1
         # (resident_rowgroup auto, ops/pallas_kernels._grouped_row) splits
@@ -357,7 +366,7 @@ def main():
             i_rep_ms.append((time.perf_counter() - t0) * 1e3)
         i_ms = min(i_rep_ms) / probe_iters
         dcs = sorted({sum(1 for c, _, _ in i_base if c == cbi)
-                      for cbi in range(18)})
+                      for cbi in range(NBV // 2)})
         from qamreconciliation_tpu.ops.pallas_kernels import _pick_rowgroup
 
         extras["irregular_qc"] = {
@@ -381,7 +390,7 @@ def main():
     # rows above stay for round-over-round comparability.  Gated on
     # N % 180 == 0; BENCH_TRUE_SHAPE=0 skips.
     if (USE_QC and not SKIP_DECODE and SCHEDULE == "flooding"
-            and resident and N_CODE % 180 == 0
+            and resident and N_CODE % 180 == 0 and NBV != 180
             and os.environ.get("BENCH_TRUE_SHAPE", "1") == "1"):
         from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
 
