@@ -185,6 +185,7 @@ def main():
             return resident_fits and rule == "sumproduct"
 
         resident = resident_for(CHECK_RULE)
+        resident_failed = False   # set if the step-1 resident compile dies
         dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
                         check_rule=CHECK_RULE, schedule=SCHEDULE,
                         resident=bool(resident),
@@ -227,6 +228,7 @@ def main():
             log(f"resident decode failed ({type(e).__name__}); falling "
                 f"back to the dense path")
             resident = False
+            resident_failed = True
             extras["resident"] = False
             dec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
                             check_rule=CHECK_RULE, schedule=SCHEDULE,
@@ -391,11 +393,14 @@ def main():
     # N % 180 == 0; BENCH_TRUE_SHAPE=0 skips.
     if (USE_QC and not SKIP_DECODE and SCHEDULE == "flooding"
             and resident and N_CODE % 180 == 0 and NBV != 180
+            and N_CODE // 180 >= 90    # same tiny-shape floor as
+                                       # resident_fits: z=32-class shapes
+                                       # crashed the Mosaic compiler
             and os.environ.get("BENCH_TRUE_SHAPE", "1") == "1"):
         from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
 
         t_z = N_CODE // 180
-        t_base, t_vid, t_cid = make_qc_ira(
+        t_base, _, _ = make_qc_ira(
             nb_info=90, nb_acc=90, z=t_z, dv=3, seed=12345
         )
         tdec = QCDecoder(t_base, t_z, dtype=dt, use_pallas=PALLAS,
@@ -511,14 +516,16 @@ def main():
     check2 = os.environ.get("BENCH_CHECK2", "minsum")
     if check2 != "none" and check2 != CHECK_RULE and MODE == "softening":
         if USE_QC:
-            # `and bool(resident)`: if step 1's resident kernel failed to
-            # compile at this shape and fell back to dense, don't rebuild
+            # `not resident_failed`: if step 1's resident kernel failed to
+            # COMPILE at this shape and fell back to dense, don't rebuild
             # a resident decoder here (this section has no fallback; the
-            # z=450 smoke shape used to die at the first run_point)
+            # z=450 smoke shape used to die at the first run_point).  The
+            # auto policy choosing dense for the HEADLINE rule must not
+            # veto check2's own policy, hence the dedicated failure flag.
             dec2 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
                              check_rule=check2,
                              resident=bool(resident_for(check2))
-                             and bool(resident))
+                             and not resident_failed)
         else:
             dec2 = Decoder(vid, cid, dtype=dt, use_pallas=PALLAS,
                            check_rule=check2)

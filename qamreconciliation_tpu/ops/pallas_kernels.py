@@ -502,9 +502,13 @@ def resident_vmem_bytes(nb_v: int, nb_c: int, e_base: int, z: int, B: int,
     tot_item = 4 if totals_f32 else itemsize
     sub = {2: 16, 4: 8}.get(itemsize, 8)
     tsub = {2: 16, 4: 8}.get(tot_item, 8)
-    zp = -(-z // sub) * sub
-    ztp = -(-((2 if doubled else 1) * z) // tsub) * tsub
-    zp8 = -(-z // 32) * 32          # int8 syndrome tile
+    # unaligned z: the kernel allocates resident_zpad(z) (32-aligned)
+    # rows for EVERY state buffer, not just the dtype's sublane tile —
+    # model what is actually allocated so vlimit / fit checks match
+    zr = resident_zpad(z)
+    zp = -(-zr // sub) * sub
+    ztp = -(-((2 * z) if doubled else zr) // tsub) * tsub
+    zp8 = -(-zr // 32) * 32         # int8 syndrome tile
     bp = -(-B // 128) * 128
     total = nb_v * ztp * bp * tot_item
     msgs = (nb_v + e_base) * zp * bp * itemsize   # prior + flat c2v

@@ -401,6 +401,7 @@ def test_resident_unaligned_z_and_doubled_guard():
     s1, i1, f1 = dense.decode_batch(llr, synd, 25)
     s2, i2, f2 = res.decode_batch(llr, synd, 25)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     dbl = QCDecoder(base, 12, dtype=jnp.float32, check_rule="minsum",
                     resident=True, resident_chunk=4, resident_double=True)
