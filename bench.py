@@ -249,17 +249,22 @@ def main():
         probe_iters = max(int(os.environ.get("BENCH_PROBE_ITERS", 250)),
                           MAX_ITER)
         reps = int(os.environ.get("BENCH_PROBE_REPS", 4))
-        # per-rep MIN, not the mean: the tunnel's per-dispatch overhead is
-        # erratic (congestion windows add 0.1-1 s spikes) and the min is
-        # the standard de-noised wall-clock estimator; the device compute
-        # itself is deterministic
-        rep_ms = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = f(lappr, synd, jnp.int32(probe_iters))
-            np.asarray(out[1])
-            rep_ms.append((time.perf_counter() - t0) * 1e3)
-        ms_iter = min(rep_ms) / probe_iters
+
+        def probe_ms_per_iter(fn, lappr_a, synd_a):
+            """Min-over-reps ms/BP-iteration of one decode program — the
+            SHARED probe protocol of steps 1/1b/1c (per-rep MIN, not the
+            mean: the tunnel's per-dispatch overhead is erratic and the
+            min is the standard de-noised wall-clock estimator; the
+            device compute itself is deterministic)."""
+            ms = []
+            for _ in range(reps):
+                t1 = time.perf_counter()
+                o = fn(lappr_a, synd_a, jnp.int32(probe_iters))
+                np.asarray(o[1])
+                ms.append((time.perf_counter() - t1) * 1e3)
+            return min(ms) / probe_iters
+
+        ms_iter = probe_ms_per_iter(f, lappr, synd)
         # Emit the exact decode-probe configuration (VERDICT r3 weak-1: the
         # r3 JSON's 0.755 ms/iter vs BASELINE's 0.580 could not be
         # diagnosed because phi_impl/resident_chunk/probe_iters were not
@@ -360,13 +365,7 @@ def main():
             np.asarray(out[1])
         log(f"irregular-QC decode compile+first: "
             f"{time.perf_counter() - t0:.1f}s")
-        i_rep_ms = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = fi(i_lappr, i_synd, jnp.int32(probe_iters))
-            np.asarray(out[1])
-            i_rep_ms.append((time.perf_counter() - t0) * 1e3)
-        i_ms = min(i_rep_ms) / probe_iters
+        i_ms = probe_ms_per_iter(fi, i_lappr, i_synd)
         dcs = sorted({sum(1 for c, _, _ in i_base if c == cbi)
                       for cbi in range(NBV // 2)})
         from qamreconciliation_tpu.ops.pallas_kernels import _pick_rowgroup
@@ -418,13 +417,7 @@ def main():
             out = ft(t_lappr, t_synd, jnp.int32(MAX_ITER))
             np.asarray(out[1])
             log(f"true-shape compile+first: {time.perf_counter() - t0:.1f}s")
-            t_rep_ms = []
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                out = ft(t_lappr, t_synd, jnp.int32(probe_iters))
-                np.asarray(out[1])
-                t_rep_ms.append((time.perf_counter() - t0) * 1e3)
-            t_ms = min(t_rep_ms) / probe_iters
+            t_ms = probe_ms_per_iter(ft, t_lappr, t_synd)
             extras["true_shape_qc"] = {
                 "code": f"qc-ira dv=3 z={t_z} N={tdec.vnum} "
                         f"(DVB-S2 lifting shape)",
