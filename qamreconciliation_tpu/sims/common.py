@@ -137,6 +137,14 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "this granularity, iters/success stay sweep-exact)",
     )
     parser.add_argument(
+        "--layered-groups", type=int, default=-1,
+        help="Layered schedule only: process variable-disjoint check "
+        "rows as one batched layer (bit-equivalent to a reordered "
+        "serial sweep; cuts per-sweep serial depth from the row count "
+        "to the color count).  -1 auto (on for codes with >= 32 check "
+        "block-rows), 0 serial, 1 force grouped",
+    )
+    parser.add_argument(
         "--resident", action="store_true",
         help="QC flooding only: run the VMEM-resident multi-iteration "
         "decode kernel (whole decode state in on-chip VMEM, "
@@ -190,6 +198,8 @@ def load_decoder(args):
 
     schedule = getattr(args, "schedule", "flooding")
     chunk = getattr(args, "layered_chunk", 4)
+    lg = getattr(args, "layered_groups", -1)
+    layered_groups = None if lg < 0 else bool(lg)
     resident = getattr(args, "resident", False)
     resident_chunk = getattr(args, "resident_chunk", 16)
     resident_rowgroup = getattr(args, "resident_rowgroup", None)
@@ -203,7 +213,8 @@ def load_decoder(args):
         base_edges, z = load_qc_csv(args.edgefile)
         dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
                         check_rule=args.check_rule, schedule=schedule,
-                        layered_chunk=chunk, resident=resident,
+                        layered_chunk=chunk, layered_groups=layered_groups,
+                        resident=resident,
                         resident_chunk=resident_chunk,
                         resident_rowgroup=resident_rowgroup,
                         check_phi=check_phi, totals_dtype=totals_dtype,
@@ -226,6 +237,7 @@ def load_decoder(args):
                 dec = QCDecoder(base_edges, z, dtype=np.dtype(args.dtype),
                                 check_rule=args.check_rule,
                                 schedule=schedule, layered_chunk=chunk,
+                                layered_groups=layered_groups,
                                 resident=resident,
                                 resident_chunk=resident_chunk,
                                 resident_rowgroup=resident_rowgroup,

@@ -48,6 +48,8 @@ def main():
                     "block-rows) vs the default z=1800/18-row bench code")
     ap.add_argument("--rowgroup", type=int, default=-1,
                     help="resident_rowgroup: -1 auto, 0 off, >=2 cap")
+    ap.add_argument("--layered-groups", type=int, default=-1,
+                    help="layered schedule: -1 auto, 0 serial, 1 grouped")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -78,6 +80,8 @@ def main():
                                           seed=12345)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas),
                         check_rule=args.check, schedule=args.schedule,
+                        layered_groups=(None if args.layered_groups < 0
+                                        else bool(args.layered_groups)),
                         resident=bool(args.resident),
                         resident_chunk=args.resident_chunk,
                         resident_double=(None if args.resident_double < 0

@@ -415,3 +415,74 @@ def test_layered_rejects_compressed(qc):
                   compressed=True)
     with pytest.raises(ValueError):
         QCDecoder(base, 16, schedule="twisted")
+
+
+# ------------------------------------------------- grouped layered sweep
+
+
+def test_layered_grouped_matches_reordered_serial_oracle():
+    """The grouped layered sweep (layered_groups=True) is bit-equivalent
+    to a SERIAL sweep under the layer plan's row order: rows within a
+    batch touch pairwise-disjoint variable blocks, so their updates
+    commute exactly.  Verified against the numpy float64 oracle run on
+    the plan-reordered rows/syndromes."""
+    from qamreconciliation_tpu.models.qc_decoder import (
+        color_disjoint_rows, layered_plan,
+    )
+
+    base, vid, cid = make_qc_ldpc(nb_v=40, z=8, dv=3, dc=6, seed=21)
+    dec = QCDecoder(base, 8, dtype=jnp.float64, schedule="layered",
+                    layered_groups=True)
+    # the coloring actually groups (else this test is vacuous) and every
+    # color's rows are pairwise variable-disjoint
+    colors = color_disjoint_rows(dec._rows)
+    assert len(colors) < dec.nb_c
+    for members in colors:
+        seen = set()
+        for cb in members:
+            vbs = {v for (v, _) in dec._rows[cb]}
+            assert not (seen & vbs)
+            seen |= vbs
+
+    rng = np.random.default_rng(5)
+    B = 4
+    word = rng.integers(0, 2, (B, dec.vnum))
+    synd = np.asarray(Matrix(vid, cid).eval_syndrome(word))
+    llr = rng.normal(0, 2.0, (B, dec.vnum))   # ~0 dB: nothing converges
+    s, i, f = dec.decode_batch(llr, synd, 2)
+    assert not np.asarray(s).any()
+
+    plan = layered_plan(dec._rows)
+    order = [cb for _, cbs in plan for cb in cbs]
+    assert sorted(order) == list(range(dec.nb_c))
+    synd_r = synd.T.reshape(dec.nb_c, 8, B)
+    ref = _layered_np(
+        llr.T.reshape(dec.nb_v, 8, B),
+        synd_r[np.asarray(order)],
+        [dec._rows[cb] for cb in order],
+        8, sweeps=2, rule="sumproduct",
+    ).reshape(dec.vnum, B)
+    np.testing.assert_allclose(
+        np.asarray(f).T.reshape(dec.vnum, B), ref, rtol=1e-9, atol=1e-9
+    )
+
+
+def test_layered_grouped_auto_policy_and_quality(qc):
+    """Auto grouping stays OFF for few-row codes (the measured round-3
+    relayout negative at nb_c=18) and ON at nb_c >= 32; grouped layered
+    still decodes (success semantics intact) on a decodable batch."""
+    base, vid, cid = qc
+    few = QCDecoder(base, 16, schedule="layered")
+    assert few.nb_c < 32 and few.layered_groups is None
+    base40, vid40, cid40 = make_qc_ldpc(nb_v=80, z=4, dv=3, dc=6, seed=9)
+    many = QCDecoder(base40, 4, dtype=jnp.float64, schedule="layered")
+    assert many.nb_c >= 32          # auto groups
+    rng = np.random.default_rng(12)
+    B = 6
+    word = rng.integers(0, 2, (B, many.vnum))
+    synd = np.asarray(Matrix(vid40, cid40).eval_syndrome(word))
+    llr = (1 - 2 * word) * 4.0 + rng.normal(0, 1.0, (B, many.vnum))
+    s, i, f = many.decode_batch(llr, synd, 30)
+    assert np.asarray(s).all()
+    bits = (np.asarray(f) < 0).astype(int)
+    np.testing.assert_array_equal(bits, word)
