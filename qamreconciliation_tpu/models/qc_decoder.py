@@ -259,9 +259,10 @@ class QCDecoder:
         # flooding only.  Bit-identical to the dense min-sum path
         # (tests/test_qc_resident.py); sum-product agrees to f32 summation
         # order.
-        if resident and schedule != "flooding":
-            raise ValueError("resident=True supports only the flooding "
-                             "schedule")
+        # resident composes with BOTH schedules: flooding rides
+        # bp_decode_rounds_qc, layered rides bp_layered_sweeps_qc (the
+        # many-row small-z fix — viability checked at build, see
+        # _build_resident_layered)
         if resident and compressed:
             raise ValueError("resident=True is incompatible with "
                              "compressed=True")
@@ -429,6 +430,8 @@ class QCDecoder:
                 )
             return self._build_compressed()
         if self.schedule == "layered":
+            if self.resident:
+                return self._build_resident_layered()
             return self._build_layered()
         if self.resident:
             return self._build_resident()
@@ -582,6 +585,127 @@ class QCDecoder:
             newly = jnp.logical_and(conv, ~done)
             iters = jnp.where(newly, jnp.minimum(it, max_iterations), iters)
             done = jnp.logical_or(done, conv)
+            iters = jnp.where(done, iters, max_iterations)
+            return done, iters, total.reshape(nb_v * z, B)
+
+        return jax.jit(decode_batched)
+
+    def _build_resident_layered(self):
+        """VMEM-resident serial-C layered sweeps: K sweeps per kernel
+        dispatch with the whole layered state (f32 incremental totals,
+        flat messages, syndrome) in VMEM
+        (ops/pallas_kernels.bp_layered_sweeps_qc).
+
+        The fix for the many-row small-z regime where the XLA layered
+        sweep is op-count-bound (z=360 DVB-S2 shape: 2.33-2.50 ms/sweep
+        across ~1080 small XLA ops vs 0.73 at z=1800 — BASELINE.md);
+        viability (aligned z, whole-z value budget) is checked at trace
+        and raises loudly so callers fall back to the XLA loop.
+        Bit-identical to :meth:`_build_layered`'s serial sweep for
+        min-sum (same row/edge order and f32 delta accumulation);
+        sum-product to f32 tolerance.  Semantics per the layered
+        contract: per-sweep-exact (success, iters), iters==0
+        passthrough on consistent input, freeze-at-convergence finals.
+        """
+        from ..ops.pallas_kernels import (
+            bp_layered_sweeps_qc, layered_resident_viable,
+        )
+
+        z = self.z
+        nb_c, nb_v = self.nb_c, self.nb_v
+        rows = self._rows
+        E = len(self.base_edges)
+        dtype = self.dtype
+        if dtype == jnp.float64:
+            raise ValueError(
+                "resident layered supports float32/bfloat16 message "
+                "storage (the in-kernel totals are float32); use the XLA "
+                "layered loop for float64 parity runs"
+            )
+        K = self.layered_chunk
+        interpret = jax.default_backend() != "tpu"
+        phi_impl = self.check_phi
+
+        def consistent(total, synd):
+            bits = (total.astype(jnp.float32) < 0).astype(jnp.int32)
+            ok = None
+            for cb, row in enumerate(rows):
+                par = None
+                for (v, s) in row:
+                    slab = jnp.roll(bits[v], s, axis=0)
+                    par = slab if par is None else par ^ slab
+                bad = jnp.sum((par != synd[cb]).astype(jnp.int32), axis=0)
+                ok = bad if ok is None else ok + bad
+            return ok == 0
+
+        def decode_batched(prior_vb, synd_cb, max_iterations):
+            """prior [V, B], synd [C, B] -> (success, iters, final)."""
+            B = prior_vb.shape[1]
+            if not layered_resident_viable(rows, z, B):
+                raise ValueError(
+                    f"resident layered not viable at z={z}, B={B} (needs "
+                    "z % 8 == 0 and the whole-z value budget — see "
+                    "ops/pallas_kernels.layered_resident_viable); use "
+                    "the XLA layered loop"
+                )
+            step = bp_layered_sweeps_qc(
+                rows, z, rule=self.check_rule, k_sweeps=K,
+                interpret=interpret, phi_impl=phi_impl,
+                ms_alpha=self.minsum_alpha, ms_beta=self.minsum_beta,
+            )
+            prior = prior_vb.astype(jnp.float32).reshape(nb_v, z, B)
+            synd = synd_cb.astype(jnp.int32).reshape(nb_c, z, B)
+            synd8 = synd.astype(jnp.int8)
+            Bp = -(-B // 128) * 128
+            if Bp != B:
+                # 128-lane tile alignment: pad lanes are zero-prior
+                # frames (consistent with the all-zero syndrome -> done
+                # from sweep 0, frozen, trimmed below)
+                prior = jnp.concatenate([
+                    prior, jnp.zeros((nb_v, z, Bp - B), prior.dtype)
+                ], axis=2)
+                synd8 = jnp.concatenate([
+                    synd8, jnp.zeros((nb_c, z, Bp - B), jnp.int8)
+                ], axis=2)
+            maxi = jnp.full((1, 1), max_iterations, jnp.int32)
+            # iters==0 passthrough (reference decoder.pyx:402-405): the
+            # in-kernel freeze keeps such frames' totals at the prior
+            conv0 = consistent(
+                prior, synd if Bp == B else jnp.concatenate([
+                    synd, jnp.zeros((nb_c, z, Bp - B), jnp.int32)
+                ], axis=2)
+            )
+            done0 = jnp.broadcast_to(
+                conv0.astype(jnp.int32)[None, :], (8, Bp)
+            )
+
+            def cond(state):
+                it, _, _, done8, _ = state
+                return jnp.logical_and(
+                    it < max_iterations, ~jnp.all(done8[0] > 0)
+                )
+
+            def body(state):
+                it, total, c2v, done8, iters8 = state
+                it0 = jnp.full((1, 1), it, jnp.int32)
+                total, c2v, done8, iters8 = step(
+                    it0, maxi, total, c2v, synd8, done8, iters8,
+                )
+                return (it + K, total, c2v, done8, iters8)
+
+            init = (
+                jnp.int32(0),
+                prior,
+                jnp.zeros((E, z, Bp), dtype),
+                done0,
+                jnp.zeros((8, Bp), jnp.int32),
+            )
+            it, total, _, done8, iters8 = jax.lax.while_loop(
+                cond, body, init
+            )
+            total = total[:, :, :B]
+            done = done8[0, :B] > 0
+            iters = iters8[0, :B]
             iters = jnp.where(done, iters, max_iterations)
             return done, iters, total.reshape(nb_v * z, B)
 

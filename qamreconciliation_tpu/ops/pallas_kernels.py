@@ -39,6 +39,8 @@ __all__ = [
     "bp_check_phase_qc",
     "bp_check_phase_generic",
     "bp_decode_rounds_qc",
+    "bp_layered_sweeps_qc",
+    "layered_resident_viable",
     "resident_vmem_bytes",
 ]
 
@@ -1070,5 +1072,226 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
             ) if pltpu is not None and not interpret else None,
             interpret=interpret,
         )(it0, maxiter, total, c2v, prior, synd8, done, iters)
+
+    return step
+
+
+# --------------------------------------------------------------------- #
+# VMEM-RESIDENT row-layered (serial-C) sweeps (late round 4).
+#
+# The XLA layered sweep is op-COUNT-bound on many-row codes: at the
+# z=360 DVB-S2-lifting shape (90 check block-rows) its ~1080 small
+# roll/static-add XLA ops cost 2.33-2.50 ms/sweep vs 0.73 at z=1800/18
+# rows, and neither disjoint-row grouping (+7%) nor batched scatters
+# (2.2x WORSE - TPU vector-index scatters) recover it (DESIGN.md,
+# BASELINE.md).  This kernel runs K full serial-C sweeps per dispatch
+# with the whole layered state resident in VMEM - totals (float32, the
+# layered schedule's incremental acc dtype), flat c2v messages, int8
+# syndrome - so every roll is a VALUE-level rotate of a full-z slab and
+# every totals update is a full-ref read-modify-write: zero per-op XLA
+# dispatch overhead and no partial-dim memref slices at all.
+#
+# Scope: the whole-z VALUE formulation keeps ~12 live [dc, z, B] f32
+# temporaries per row body, so it is viable exactly in the many-row
+# SMALL-z regime where the XLA sweep collapses (z*B <= ~64k lanes:
+# z=360/B=128 yes, z=1800/B=128 no - use the XLA layered loop there,
+# where it is already fast).  ``layered_resident_viable`` is the gate.
+# Semantics mirror models/qc_decoder._build_layered's serial sweep
+# bit-for-bit for min-sum (same row/edge order, same f32 delta
+# accumulation; reference schedule semantics:
+# qamreconciliation/decoder.pyx:424-433 per-sweep, serial-C extension).
+
+
+def layered_resident_viable(rows, z: int, B: int) -> bool:
+    """True when the whole-z value-rolled layered kernel fits the
+    register/VMEM budget (see module comment): aligned z, and the
+    per-row live-value footprint ~12 f32 [dc, z, B] temporaries within
+    the measured ~32 MB safe budget."""
+    dc_max = max(len(r) for r in rows)
+    bp = -(-B // 128) * 128
+    return z % 8 == 0 and 12 * dc_max * z * bp * 4 <= 32 * 2**20
+
+
+def bp_layered_sweeps_qc(rows, z: int, *, rule: str = "sumproduct",
+                         k_sweeps: int = 4, tiny: float = 1e-30,
+                         interpret: bool = False,
+                         phi_impl: str = "phi",
+                         ms_alpha: float = MINSUM_ALPHA,
+                         ms_beta: float = 0.0):
+    """Build the K-sweep VMEM-resident serial-C layered kernel.
+
+    Returns ``step(it0, maxiter, total, c2v, synd8, done, iters) ->
+    (total, c2v, done, iters)`` advancing ``k_sweeps`` layered sweeps
+    (sweeps past ``maxiter`` are no-ops).  Shapes: total [nb_v, z, B]
+    float32 (the layered totals INCLUDE the prior - incremental
+    schedule), c2v [E_base, z, B] storage dtype (flat row-major),
+    synd8 [nb_c, z, B] int8, done/iters [8, B] int32
+    (sublane-replicated).  Convergence (hard-decision syndrome test
+    after EVERY sweep), per-sweep-exact ``iters``, and
+    freeze-at-convergence (a done frame's totals never change, so the
+    returned totals ARE the final LLRs) all run in-kernel, mirroring
+    models/qc_decoder._build_layered's chunked while-loop semantics.
+    """
+    nb_c = len(rows)
+    nb_v = max(v for row in rows for (v, _) in row) + 1
+    degs = [len(row) for row in rows]
+    e_off = [0]
+    for d_ in degs:
+        e_off.append(e_off[-1] + d_)
+    E = e_off[-1]
+    if z % 8:
+        raise ValueError(
+            f"resident layered requires z % 8 == 0 (z={z}); use the XLA "
+            "layered loop"
+        )
+
+    def _val_roll(v, s):
+        """VALUE-level roll by the static circulant shift (two-piece
+        concat; vector ops carry any split point, unlike ref slices)."""
+        sh = s % z
+        if sh == 0:
+            return v
+        return jnp.concatenate([v[z - sh:], v[:z - sh]], axis=0)
+
+    def _make_kernel():
+        def kernel(it0_ref, maxiter_ref, total_in, c2v_in, synd_in,
+                   done_in, iters_in,
+                   total_out, c2v_out, done_out, iters_out,
+                   total_s, c2v_s, synd_s, done_s, iters_s, viol_s, sems):
+            dtype = c2v_s.dtype
+            loads = [
+                pltpu.make_async_copy(total_in, total_s, sems.at[0]),
+                pltpu.make_async_copy(c2v_in, c2v_s, sems.at[1]),
+                pltpu.make_async_copy(synd_in, synd_s, sems.at[2]),
+            ]
+            for d_ in loads:
+                d_.start()
+            for d_ in loads:
+                d_.wait()
+            done_s[:] = done_in[:]
+            iters_s[:] = iters_in[:]
+
+            n_it = jnp.maximum(
+                jnp.minimum(k_sweeps, maxiter_ref[0, 0] - it0_ref[0, 0]), 0
+            )
+
+            def one_sweep(k, _):
+                swp = it0_ref[0, 0] + k + 1
+                frozen = done_s[0:1, :] > 0                 # [1, B]
+
+                # ---- serial-C pass over the check block-rows ----
+                for cb, row in enumerate(rows):
+                    e0 = e_off[cb]
+                    dcr = len(row)
+                    t = jnp.stack([
+                        _val_roll(total_s[v], s) for (v, s) in row
+                    ])                                      # [dcr, z, B] f32
+                    old = c2v_s[e0:e0 + dcr].astype(jnp.float32)
+                    v2c = t - old
+                    a = jnp.abs(v2c)
+                    if rule == "minsum":
+                        mag = minsum_mag(
+                            minsum_extrinsic_mag(a, 0), ms_alpha, ms_beta
+                        )
+                    elif phi_impl == "tanhfb":
+                        mag = tanhfb_extrinsic_mag(a, 0)
+                    else:
+                        phim = phi_llr(a, tiny)
+                        s_phi = jnp.sum(phim, axis=0, keepdims=True)
+                        mag = phi_llr(s_phi - phim, tiny)
+                    neg = (v2c < 0).astype(jnp.int32)
+                    par = jnp.sum(neg, axis=0, keepdims=True) & 1
+                    sign = (1 - 2 * jnp.bitwise_xor(par, neg)).astype(
+                        jnp.float32
+                    )
+                    synd_i = synd_s[cb].astype(jnp.int32)
+                    pref = (1 - 2 * synd_i).astype(jnp.float32)[None]
+                    stored = (sign * pref * mag).astype(dtype)
+                    # delta of the STORED values keeps totals consistent
+                    # with the rounded messages (mirrors the XLA sweep)
+                    delta = stored.astype(jnp.float32) - old
+                    for d, (v, s) in enumerate(row):
+                        told = total_s[v]
+                        tnew = told + _val_roll(delta[d], -s)
+                        # freeze-at-convergence: done frames' totals
+                        # never change (they ARE the final LLRs)
+                        total_s[v] = jnp.where(frozen, told, tnew)
+                    c2v_s[e0:e0 + dcr] = stored
+
+                # ---- end-of-sweep convergence test (per-sweep exact) ----
+                for cb, row in enumerate(rows):
+                    bits = None
+                    for (v, s) in row:
+                        b = (_val_roll(total_s[v], s) < 0).astype(jnp.int32)
+                        bits = b if bits is None else jnp.bitwise_xor(
+                            bits, b
+                        )
+                    bad = (bits != synd_s[cb].astype(jnp.int32)).astype(
+                        jnp.int32
+                    )
+                    cnt = jnp.sum(bad, axis=0)
+                    viol_s[cb] = jnp.broadcast_to(
+                        cnt[None, :], (8, cnt.shape[0])
+                    )
+                conv = (jnp.sum(viol_s[:], axis=0) == 0).astype(jnp.int32)
+                newly = conv * (1 - done_s[:])
+                iters_s[:] = jnp.where(newly > 0, swp, iters_s[:])
+                done_s[:] = jnp.maximum(done_s[:], conv)
+                return ()
+
+            jax.lax.fori_loop(0, n_it, one_sweep, ())
+
+            stores = [
+                pltpu.make_async_copy(total_s, total_out, sems.at[0]),
+                pltpu.make_async_copy(c2v_s, c2v_out, sems.at[1]),
+            ]
+            for d_ in stores:
+                d_.start()
+            done_out[:] = done_s[:]
+            iters_out[:] = iters_s[:]
+            for d_ in stores:
+                d_.wait()
+
+        return kernel
+
+    def step(it0, maxiter, total, c2v, synd8, done, iters):
+        dtype = c2v.dtype
+        B = total.shape[-1]
+        kernel = _make_kernel()
+        state_bytes = (
+            nb_v * z * (-(-B // 128) * 128) * 4
+            + E * z * (-(-B // 128) * 128) * jnp.dtype(dtype).itemsize
+            + nb_c * (-(-z // 32) * 32) * (-(-B // 128) * 128)
+        )
+        vlimit = min(int(state_bytes + 48 * 2**20), 128 * 2**20)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        vmem_spec = pl.BlockSpec(memory_space=_VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct(total.shape, total.dtype),
+                jax.ShapeDtypeStruct(c2v.shape, dtype),
+                jax.ShapeDtypeStruct(done.shape, jnp.int32),
+                jax.ShapeDtypeStruct(iters.shape, jnp.int32),
+            ),
+            in_specs=[smem_spec, smem_spec, any_spec, any_spec, any_spec,
+                      vmem_spec, vmem_spec],
+            out_specs=(any_spec, any_spec, vmem_spec, vmem_spec),
+            scratch_shapes=[
+                pltpu.VMEM((nb_v, z, B), jnp.float32),    # total_s
+                pltpu.VMEM((E, z, B), dtype),             # c2v_s (flat)
+                pltpu.VMEM((nb_c, z, B), jnp.int8),       # synd_s
+                pltpu.VMEM((8, B), jnp.int32),            # done_s
+                pltpu.VMEM((8, B), jnp.int32),            # iters_s
+                pltpu.VMEM((nb_c, 8, B), jnp.int32),      # viol_s
+                pltpu.SemaphoreType.DMA((3,)),
+            ],
+            input_output_aliases={2: 0, 3: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vlimit
+            ) if pltpu is not None and not interpret else None,
+            interpret=interpret,
+        )(it0, maxiter, total, c2v, synd8, done, iters)
 
     return step

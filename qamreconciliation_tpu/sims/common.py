@@ -146,8 +146,9 @@ def add_qc_arg(parser: argparse.ArgumentParser):
     )
     parser.add_argument(
         "--resident", action="store_true",
-        help="QC flooding only: run the VMEM-resident multi-iteration "
-        "decode kernel (whole decode state in on-chip VMEM, "
+        help="QC decoders: run the VMEM-resident multi-iteration decode "
+        "kernel (whole decode state in on-chip VMEM; composes with "
+        "--schedule layered as the serial-C in-VMEM sweep kernel, "
         "--resident-chunk BP iterations per dispatch; needs the state to "
         "fit ~100 MB of VMEM — DVB-S2-scale codes at batch<=128)",
     )

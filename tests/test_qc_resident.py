@@ -111,8 +111,10 @@ def _expanded(qc):
 
 def test_resident_option_validation(qc):
     base, _, _ = qc
-    with pytest.raises(ValueError):
-        QCDecoder(base, 16, resident=True, schedule="layered")
+    # resident + layered is now a SUPPORTED combination (the VMEM-
+    # resident serial-C kernel, late round 4); compressed still refuses
+    dec = QCDecoder(base, 16, resident=True, schedule="layered")
+    assert dec.resident and dec.schedule == "layered"
     with pytest.raises(ValueError):
         QCDecoder(base, 16, resident=True, compressed=True,
                   check_rule="minsum")
@@ -407,3 +409,63 @@ def test_resident_unaligned_z_and_doubled_guard():
                     resident=True, resident_chunk=4, resident_double=True)
     with pytest.raises(ValueError, match="z % 8"):
         dbl.decode_batch(llr, synd, 25)
+
+
+# ----------------------------------------------- resident layered sweeps
+
+
+@pytest.mark.parametrize("rule,kw", [
+    ("minsum", {}),
+    ("sumproduct", {"check_phi": "phi"}),
+    ("sumproduct", {"check_phi": "tanhfb"}),
+])
+def test_resident_layered_matches_xla_layered(qc, rule, kw):
+    """The VMEM-resident serial-C kernel (schedule='layered',
+    resident=True) mirrors the XLA layered loop's row/edge order and
+    f32 delta accumulation: min-sum is bit-identical on
+    (success, iters, final); sum-product agrees to f32 tolerance."""
+    base, _, _ = qc
+    xla = QCDecoder(base, 16, dtype=jnp.float32, schedule="layered",
+                    check_rule=rule, layered_chunk=3, **kw)
+    res = QCDecoder(base, 16, dtype=jnp.float32, schedule="layered",
+                    check_rule=rule, layered_chunk=3, resident=True, **kw)
+    llr, synd = _frames(qc, B=8, seed=17)
+    s1, i1, f1 = xla.decode_batch(llr, synd, 25)
+    s2, i2, f2 = res.decode_batch(llr, synd, 25)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    if rule == "minsum":
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    else:
+        np.testing.assert_allclose(
+            np.asarray(f1), np.asarray(f2), rtol=2e-4, atol=2e-4
+        )
+    assert int(np.asarray(s1).sum()) > 0
+
+
+def test_resident_layered_passthrough_and_guards(qc):
+    """iters==0 passthrough on consistent input (frozen from sweep 0);
+    float64 and non-viable shapes refuse loudly."""
+    base, vid, cid = qc
+    res = QCDecoder(base, 16, dtype=jnp.float32, schedule="layered",
+                    check_rule="minsum", resident=True)
+    rng = np.random.default_rng(3)
+    B = 4
+    word = rng.integers(0, 2, (B, res.vnum))
+    synd = np.asarray(Matrix(vid, cid).eval_syndrome(word))
+    clean = (1 - 2 * word) * 5.0
+    s, i, f = res.decode_batch(clean, synd, 20)
+    assert np.asarray(s).all()
+    np.testing.assert_array_equal(np.asarray(i), 0)
+    np.testing.assert_array_equal(np.asarray(f), clean)
+    with pytest.raises(ValueError, match="float64"):
+        QCDecoder(base, 16, dtype=jnp.float64, schedule="layered",
+                  resident=True).decode_batch(clean, synd, 5)
+    from qamreconciliation_tpu.ops.pallas_kernels import (
+        layered_resident_viable,
+    )
+
+    assert layered_resident_viable(res._rows, 16, 8)
+    assert layered_resident_viable(res._rows, 360, 128)
+    assert not layered_resident_viable(res._rows, 1800, 128)  # value budget
+    assert not layered_resident_viable(res._rows, 450, 128)   # unaligned z
