@@ -50,6 +50,8 @@ def main():
                     help="resident_rowgroup: -1 auto, 0 off, >=2 cap")
     ap.add_argument("--layered-groups", type=int, default=-1,
                     help="layered schedule: -1 auto, 0 serial, 1 grouped")
+    ap.add_argument("--layered-chunk", type=int, default=4,
+                    help="layered sweeps per while-loop dispatch")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -80,6 +82,7 @@ def main():
                                           seed=12345)
         dec = QCDecoder(base, z, dtype=dt, use_pallas=bool(args.pallas),
                         check_rule=args.check, schedule=args.schedule,
+                        layered_chunk=args.layered_chunk,
                         layered_groups=(None if args.layered_groups < 0
                                         else bool(args.layered_groups)),
                         resident=bool(args.resident),

@@ -28,16 +28,21 @@ def main(argv):
         make_qc_ira, make_qc_ldpc, save_qc_csv,
     )
 
-    z = 1800
+    nbv = 36
+    if "--nbv" in rest:
+        k = rest.index("--nbv")
+        nbv = int(rest[k + 1])
+        del rest[k:k + 2]
+    z = 64800 // nbv
     if "--irregular" in rest:
         rest.remove("--irregular")
-        # rate-1/2 IRA-like mixed-degree base (dc in {6, 7}), same N=64800
-        base, _, _ = make_qc_ira(nb_info=18, nb_acc=18, z=z, dv=3,
-                                 seed=12345)
-        name = "qc_ira_64800.csv"
+        # rate-1/2 IRA-like mixed-degree base, same N=64800
+        base, _, _ = make_qc_ira(nb_info=nbv // 2, nb_acc=nbv // 2, z=z,
+                                 dv=3, seed=12345)
+        name = f"qc_ira_64800_z{z}.csv"
     else:
-        base, _, _ = make_qc_ldpc(36, z, dv=3, dc=6, seed=12345)
-        name = "qc36_64800.csv"
+        base, _, _ = make_qc_ldpc(nbv, z, dv=3, dc=6, seed=12345)
+        name = f"qc{nbv}_64800.csv"
     code_csv = os.path.join(tempfile.gettempdir(), name)
     save_qc_csv(code_csv, base, z)
 
