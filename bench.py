@@ -48,9 +48,16 @@ the waterfall point with min-sum; default layered, "none" to skip),
 BENCH_RESIDENT (VMEM-resident decode kernel: auto [on for QC sum-product
 flooding at realistic scale], 1 force, 0 off), BENCH_TANHFB=0 (skip the
 dense tanh-F/B sum-product block), BENCH_NBV (variable blocks of the QC
-code, z = N/nbv; default 36 = the z=1800 round-comparable shape, 180 =
-the z=360 lifting real DVB-S2 ships), BENCH_TRUE_SHAPE=0 (skip the
-z=N/180 true-shape decode row).
+code, z = N/nbv; default 180 since round 5 = the z=360 lifting real
+DVB-S2 ships, 36 = the synthetic z=1800 shape rounds 1-4 used),
+BENCH_TRUE_SHAPE=0 (skip the z=N/180 true-shape decode row when
+BENCH_NBV != 180).
+
+Round-5 knobs: BENCH_LAYERED_RESIDENT=0 (disable the VMEM-resident
+layered kernel in the layered block), BENCH_RATE34=0 (skip the rate-3/4
+irregular stress probe), BENCH_STREAM_DECODE (auto|dense|resident|
+layered stream decode engine), BENCH_STREAM_REPS (min-over-reps count
+for the streaming row, default 2).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -62,11 +69,14 @@ import sys
 import time
 
 N_CODE = int(os.environ.get("BENCH_N", 64800))
-# variable BLOCKS of the QC benchmark code; z = N/nbv.  Default 36
-# (z=1800) for round-over-round comparability; 180 gives the z=360
-# lifting real DVB-S2 ships — the resident kernel's best measured shape
-# (0.524/0.504 ms/iter regular/irregular vs 0.567 at z=1800, BASELINE.md)
-NBV = int(os.environ.get("BENCH_NBV", 36))
+# variable BLOCKS of the QC benchmark code; z = N/nbv.  Default 180 since
+# round 5: z=360 is the lifting real DVB-S2 ships (180 variable / 90
+# check block-rows at N=64800) and the resident kernel's best measured
+# shape; the layered and streaming rows ride the round-5 resident
+# layered / resident min-sum engines at this shape (BASELINE.md round-5
+# re-baseline note).  BENCH_NBV=36 restores the z=1800 synthetic shape
+# used by rounds 1-4 for round-over-round comparison.
+NBV = int(os.environ.get("BENCH_NBV", 180))
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
 USE_QC = os.environ.get("BENCH_QC", "1") == "1"
 SNR_DB = float(os.environ.get("BENCH_SNR", 3.5))
@@ -434,6 +444,69 @@ def main():
             extras["true_shape_qc"] = {"error": type(e).__name__}
         del tdec, ft, t_lappr, t_synd
 
+    # ---- 1d. rate-3/4 irregular stress probe (VERDICT r4 item 3) ----------
+    # The reference's BSC experiments run RATE 3/4 (reference:
+    # sims/display_bsc.py:20-22); every prior bench row was rate 1/2.  A
+    # rate-3/4 QC-IRA config grows the accumulator-row check degrees to
+    # dc ~ dv*K/(N-K) + 3 ~ 12-16 — the first real stress of the resident
+    # kernel's row-grouping policy beyond dc=10.  BENCH_RATE34=0 skips.
+    if (USE_QC and not SKIP_DECODE and SCHEDULE == "flooding"
+            and NBV % 4 == 0 and NBV >= 8
+            and os.environ.get("BENCH_RATE34", "1") == "1"):
+        from qamreconciliation_tpu.models.qc_decoder import make_qc_ira
+
+        r_info, r_acc = 3 * NBV // 4, NBV // 4
+        r_base, _, _ = make_qc_ira(
+            nb_info=r_info, nb_acc=r_acc, z=z, dv=3, seed=12345
+        )
+        r_resident = bool(resident) and os.environ.get(
+            "BENCH_RATE34_RESIDENT", "1") == "1"
+        rdec = QCDecoder(r_base, z, dtype=dt, use_pallas=PALLAS,
+                         check_rule=CHECK_RULE, resident=r_resident,
+                         resident_chunk=RESIDENT_CHUNK,
+                         totals_dtype=TOTALS)
+        rng = np.random.default_rng(0)
+        r_lappr = jnp.asarray(rng.normal(0, 3.0, (rdec.vnum, BATCH)), dt)
+        r_synd = jnp.asarray(
+            rng.integers(0, 2, (rdec.cnum, BATCH)), jnp.int32
+        )
+        fr = rdec._build_decode()
+        t0 = time.perf_counter()
+        try:
+            out = fr(r_lappr, r_synd, jnp.int32(MAX_ITER))
+            np.asarray(out[1])
+        except Exception as e:
+            log(f"rate-3/4 resident decode failed ({type(e).__name__}); "
+                f"falling back to the dense path")
+            r_resident = False
+            rdec = QCDecoder(r_base, z, dtype=dt, use_pallas=PALLAS,
+                             check_rule=CHECK_RULE, totals_dtype=TOTALS)
+            fr = rdec._build_decode()
+            t0 = time.perf_counter()
+            out = fr(r_lappr, r_synd, jnp.int32(MAX_ITER))
+            np.asarray(out[1])
+        log(f"rate-3/4 decode compile+first: "
+            f"{time.perf_counter() - t0:.1f}s")
+        r_ms = probe_ms_per_iter(fr, r_lappr, r_synd)
+        r_dcs = sorted({len(r) for r in rdec._rows})
+        from qamreconciliation_tpu.ops.pallas_kernels import _pick_rowgroup
+
+        extras["rate34_qc"] = {
+            "code": f"qc-ira rate-3/4 dv=3 dc={r_dcs[0]}..{r_dcs[-1]} "
+                    f"z={z} N={rdec.vnum}",
+            "decode_ms_per_iter": round(r_ms, 3),
+            "decode_frames_per_s": round(
+                BATCH / (r_ms * MAX_ITER) * 1e3, 1
+            ),
+            "resident": bool(r_resident),
+            "rowgroup": (
+                _pick_rowgroup(z, BATCH, rdec.dc) if r_resident else None
+            ),
+        }
+        log(f"rate-3/4 irregular decode: {r_ms:.3f} ms/iter "
+            f"(dc {r_dcs[0]}..{r_dcs[-1]})")
+        del rdec, fr, r_lappr, r_synd
+
     # ---- 2. headline end-to-end round (decode-bound regime) ---------------
     nmcfg = np.zeros(pa.order, np.uint8)
     kw = dict(nmconfig=nmcfg) if MODE == "softening" else {}
@@ -596,13 +669,51 @@ def main():
     sched2 = os.environ.get("BENCH_SCHED2", "layered")
     if (sched2 != "none" and sched2 != SCHEDULE and USE_QC
             and MODE == "softening" and not SKIP_WATERFALL):
+        # VMEM-resident layered kernel (bp_layered_sweeps_qc) when viable:
+        # the many-row small-z fix — at the z=360 DVB-S2 shape the XLA
+        # serial sweep is op-count-bound (2.33-2.50 ms/sweep across ~1080
+        # small ops) while the resident kernel runs the same serial-C
+        # sweep at 0.894 ms (BASELINE.md round 4).  Auto-on when the
+        # shape qualifies (VERDICT r4 weak-1: the kernel existed but was
+        # unreachable from the bench); BENCH_LAYERED_RESIDENT=0 opts out,
+        # and a compile failure falls back to the XLA loop.
+        lay_res = (
+            os.environ.get("BENCH_LAYERED_RESIDENT", "1") == "1"
+            and sched2 == "layered"
+            and jax.default_backend() == "tpu"
+        )
+        if lay_res:
+            from qamreconciliation_tpu.ops.pallas_kernels import (
+                layered_resident_viable,
+            )
+
+            probe_rows = QCDecoder(base, z, dtype=dt,
+                                   check_rule="minsum")._rows
+            lay_res = layered_resident_viable(probe_rows, z, BATCH)
         dec3 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
-                         check_rule="minsum", schedule=sched2)
+                         check_rule="minsum", schedule=sched2,
+                         resident=lay_res)
         eng3 = ReconciliationEngine(dec3, mat, pa, batch=BATCH, dtype=dt,
                                     llr_mode=LLR_MODE,
                                     rounds_per_dispatch=RPD)
         t0 = time.perf_counter()
-        eng3.run_point(MODE, SNR2_DB, MAX_ITER, BATCH, 10 ** 9, seed=0, **kw)
+        try:
+            eng3.run_point(MODE, SNR2_DB, MAX_ITER, BATCH, 10 ** 9, seed=0,
+                           **kw)
+        except Exception as e:
+            if not lay_res:
+                raise
+            log(f"resident layered failed ({type(e).__name__}); falling "
+                f"back to the XLA layered loop")
+            lay_res = False
+            dec3 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                             check_rule="minsum", schedule=sched2)
+            eng3 = ReconciliationEngine(dec3, mat, pa, batch=BATCH,
+                                        dtype=dt, llr_mode=LLR_MODE,
+                                        rounds_per_dispatch=RPD)
+            t0 = time.perf_counter()
+            eng3.run_point(MODE, SNR2_DB, MAX_ITER, BATCH, 10 ** 9, seed=0,
+                           **kw)
         log(f"{sched2} round warmup: {time.perf_counter() - t0:.1f}s")
         r5 = eng3.run_point(MODE, SNR2_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
                             10 ** 9, seed=2, **kw)
@@ -611,6 +722,7 @@ def main():
             f"fer={r5.fer:.3f} iters={r5.iters:.1f})")
         extras[sched2] = {
             "check_rule": "minsum", "snr_dB": SNR2_DB,
+            "resident": bool(lay_res),
             "ber": float(f"{r5.ber:.3e}"), "fer": round(r5.fer, 4),
             "mean_iters": round(r5.iters, 2),
             "frames_per_s": round(r5.frames_per_s, 1),
@@ -625,8 +737,37 @@ def main():
         from qamreconciliation_tpu.sims.streaming import StreamReconciler
 
         sb = min(BATCH, 64)
-        sdec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
-                         check_rule="minsum")
+        # stream decode engine: the dense min-sum roll path is the
+        # round-3/4 protocol, but at many-block-row shapes (z=360: 90
+        # rows, 540 base edges) it is op-count-bound — the resident
+        # flooding kernel decodes the same frames ~2x faster there
+        # (VERDICT r4 item 1: "give streaming the resident decode
+        # option").  BENCH_STREAM_DECODE: auto (resident min-sum at
+        # many-row TPU shapes, dense otherwise) | dense | resident |
+        # layered (resident layered sweeps).
+        s_engine = os.environ.get("BENCH_STREAM_DECODE", "auto")
+        if s_engine == "auto":
+            s_engine = (
+                "resident"
+                if (jax.default_backend() == "tpu" and len(dec._rows) >= 32
+                    and resident_fits and not resident_failed)
+                else "dense"
+            )
+        if s_engine == "resident":
+            # chunk 25: the waterfall regime converges most frames within
+            # one chunk while below-threshold 50-iter decodes pay one
+            # extra ~0.7 ms boundary (measured trade, BASELINE.md r5)
+            sdec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                             check_rule="minsum", resident=True,
+                             resident_chunk=int(os.environ.get(
+                                 "BENCH_STREAM_CHUNK", 25)))
+        elif s_engine == "layered":
+            sdec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                             check_rule="minsum", schedule="layered",
+                             resident=True)
+        else:
+            sdec = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                             check_rule="minsum")
         Es = pa.variance
         sN0 = Es * (10.0 ** (-SNR2_DB / 10.0)) / 2.0
         snm = NoiseMapper(pa, sN0, dtype=dt)
@@ -640,22 +781,36 @@ def main():
         t0 = time.perf_counter()
         sr.stream_fused(sy[: sb * eng.N_symb], sx[: sb * eng.N_symb],
                         MAX_ITER)   # warmup: absorbs the fused compile
-        log(f"stream_fused warmup: {time.perf_counter() - t0:.1f}s")
-        sr2 = StreamReconciler(sdec, mat, pa, snm, batch=sb)
-        sr2._fused_jit = sr._fused_jit
+        log(f"stream_fused warmup ({s_engine}): "
+            f"{time.perf_counter() - t0:.1f}s")
+        # min-over-reps (VERDICT r4 item 5): the streaming number was the
+        # one bench row still timed as a single pass, so tunnel
+        # congestion made it non-comparable round over round (3.68M vs
+        # 6.05M for identical code).  Same de-noising protocol as the
+        # decode probes: per-rep wall clock, report the min + all reps.
+        s_reps = max(1, int(os.environ.get("BENCH_STREAM_REPS", 2)))
         chunk = int(2.33 * eng.N_symb)
         ycks = [sy[a:a + chunk] for a in range(0, sx.size, chunk)]
         xcks = [sx[a:a + chunk] for a in range(0, sx.size, chunk)]
-        t0 = time.perf_counter()
-        s_res = sr2.stream_fused(ycks, xcks, MAX_ITER)
-        s_el = time.perf_counter() - t0
+        s_els = []
+        for _ in range(s_reps):
+            sr2 = StreamReconciler(sdec, mat, pa, snm, batch=sb)
+            sr2._fused_jit = sr._fused_jit
+            t0 = time.perf_counter()
+            s_res = sr2.stream_fused(ycks, xcks, MAX_ITER)
+            s_els.append(time.perf_counter() - t0)
+        s_el = min(s_els)
         extras["streaming"] = {
-            "driver": "stream_fused", "frames": s_res.frames,
+            "driver": "stream_fused", "decode": s_engine,
+            "frames": s_res.frames,
             "batch": sb, "chunk_frames": 2.33, "snr_dB": SNR2_DB,
             "fer": round(s_res.fer, 4),
             "symbols_per_s": round(sx.size / s_el, 1),
+            "reps": s_reps,
+            "rep_symbols_per_s": [round(sx.size / e, 1) for e in s_els],
         }
-        log(f"stream_fused: {sx.size} symbols in {s_el:.2f}s -> "
+        log(f"stream_fused[{s_engine}]: {sx.size} symbols, best of "
+            f"{s_reps} reps {s_el:.2f}s -> "
             f"{extras['streaming']['symbols_per_s']:.0f} symbols/s "
             f"(fer={s_res.fer:.3f})")
         del sdec, sr, sr2

@@ -19,6 +19,8 @@ def test_bench_smoke_json_contract():
     env.update({
         "JAX_PLATFORMS": "cpu",
         "BENCH_N": "1152",          # divisible by 36 -> z=32 QC code
+        "BENCH_NBV": "36",          # the default is now 180 (z=360 DVB-S2
+                                    # lifting); pin the z=32 smoke shape
         "BENCH_BATCH": "8",
         "BENCH_ROUNDS": "2",
         "BENCH_RPD": "1",
@@ -46,3 +48,8 @@ def test_bench_smoke_json_contract():
     assert j["minsum"]["waterfall"]["mean_iters"] >= 0
     assert j["layered"]["check_rule"] == "minsum"
     assert j["layered"]["frames_per_s"] > 0
+    # round-5 rows: rate-3/4 irregular stress probe + min-over-reps
+    # streaming (both on their CPU fallback paths in this smoke)
+    assert j["rate34_qc"]["decode_ms_per_iter"] > 0
+    assert j["streaming"]["symbols_per_s"] > 0
+    assert len(j["streaming"]["rep_symbols_per_s"]) == j["streaming"]["reps"]
