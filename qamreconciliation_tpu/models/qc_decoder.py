@@ -206,7 +206,8 @@ class QCDecoder:
                  totals_dtype: str = "storage",
                  check_phi: str = "phi",
                  minsum_alpha: float | None = None,
-                 minsum_beta: float = 0.0):
+                 minsum_beta: float = 0.0,
+                 sr_messages: bool = False):
         self.z = int(z)
         self.dtype = jnp.dtype(dtype)
         # fused check-phase kernel (ops/pallas_kernels.bp_check_phase_qc):
@@ -333,6 +334,20 @@ class QCDecoder:
         self.minsum_beta = float(minsum_beta)
         if self.minsum_beta < 0:
             raise ValueError("minsum_beta must be >= 0")
+        # stochastically round the bf16 c2v message stores instead of
+        # round-to-nearest (ops/boxplus.stochastic_round_bf16) — the
+        # knee-quality experiment attacking the measured bf16 message-
+        # rounding FER cost (VERDICT r4 item 4a; BASELINE.md round-4
+        # knee table).  Dense flooding XLA path only (forces the
+        # unfused check phase); requires bfloat16 message storage.
+        self.sr_messages = bool(sr_messages)
+        if self.sr_messages:
+            if self.dtype != jnp.bfloat16:
+                raise ValueError("sr_messages=True requires bfloat16 "
+                                 "message storage")
+            if resident or compressed or schedule != "flooding":
+                raise ValueError("sr_messages=True supports only the "
+                                 "dense flooding path")
         self.base_edges = [(int(c), int(v), int(s)) for c, v, s in base_edges]
         self.nb_c = max(c for c, _, _ in self.base_edges) + 1
         self.nb_v = max(v for _, v, _ in self.base_edges) + 1
@@ -1218,7 +1233,8 @@ class QCDecoder:
         if rule == "sumproduct" and self.check_phi == "tanhfb":
             rule = "tanhfb"
 
-        def qc_check_update(v2c, synd, tiny=1e-30, out_dtype=None):
+        def qc_check_update(v2c, synd, tiny=1e-30, out_dtype=None,
+                            rbits=None):
             """Check update in native [nb_c, dc, z, B] layout (padded slots
             of irregular rows carry the +BIG neutral sentinel): sign/phi
             sum-product with the syndrome prefactor — same math as
@@ -1226,11 +1242,13 @@ class QCDecoder:
             normalized min-sum when check_rule="minsum".
             bf16 messages are upcast to f32 for the magnitude math (see
             ops/boxplus.py) and stored back at ``out_dtype`` (the message
-            storage width — may differ from the acc_dtype totals).
+            storage width — may differ from the acc_dtype totals); with
+            ``rbits`` the bf16 store is stochastically rounded
+            (sr_messages — the knee-quality experiment).
             """
             from ..ops.boxplus import (
                 minsum_extrinsic_mag, minsum_mag, phi_llr,
-                tanhfb_extrinsic_mag,
+                stochastic_round_bf16, tanhfb_extrinsic_mag,
             )
 
             out_dtype = out_dtype or v2c.dtype
@@ -1249,16 +1267,31 @@ class QCDecoder:
             parity = jnp.sum(neg, axis=1, keepdims=True) & 1
             sign = (1 - 2 * jnp.bitwise_xor(parity, neg)).astype(v2c.dtype)
             pref = (1 - 2 * synd).astype(v2c.dtype)[:, None]  # [nb_c,1,z,B]
-            return (sign * pref * mag).astype(out_dtype)
+            out = sign * pref * mag
+            if rbits is not None:
+                return stochastic_round_bf16(out.astype(jnp.float32), rbits)
+            return out.astype(out_dtype)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if self.sr_messages:
+            # SR lives in the XLA check update; the fused Pallas check
+            # phase would bypass it
+            use_pallas = False
         interpret = jax.default_backend() != "tpu"
 
         def decode_batched(prior_vb, synd_cb, max_iterations):
             """prior [V, B], synd [C, B] -> (success, iters, final [V, B])."""
             B = prior_vb.shape[1]
+            # per-iteration counter-derived random bits for the stochastic
+            # message rounding; 'rbg' (XLA RngBitGenerator) is the cheap
+            # hardware generator — decode stays deterministic given inputs
+            # (fixed key), bits decorrelate across iterations via fold_in
+            sr_key = (
+                jax.random.key(0x5eed, impl="rbg")
+                if self.sr_messages else None
+            )
             prior = self._constrain_vz(
                 prior_vb.astype(dtype).astype(acc_dtype).reshape(nb_v, z, B)
             )
@@ -1273,7 +1306,7 @@ class QCDecoder:
                     (parity == synd).reshape(-1, B), axis=0
                 )
 
-            def check_phase(t, c2v):
+            def check_phase(t, c2v, rbits=None):
                 """(conv [B], c2v_new) — fused Pallas kernel or XLA ops."""
                 if use_pallas:
                     from ..ops.pallas_kernels import (
@@ -1299,7 +1332,8 @@ class QCDecoder:
                             "phase", stacklevel=2,
                         )
                 return consistent(t), qc_check_update(
-                    t - c2v.astype(acc_dtype), synd, out_dtype=dtype
+                    t - c2v.astype(acc_dtype), synd, out_dtype=dtype,
+                    rbits=rbits,
                 )
 
             def cond(state):
@@ -1309,7 +1343,12 @@ class QCDecoder:
             def body(state):
                 it, c2v, total, final, done, iters = state
                 t = gather_totals(total)                  # [nb_c, dc, z, B]
-                conv, c2v_new = check_phase(t, c2v)
+                rbits = (
+                    jax.random.bits(jax.random.fold_in(sr_key, it),
+                                    (nb_c, dc, z, B), jnp.uint32)
+                    if sr_key is not None else None
+                )
+                conv, c2v_new = check_phase(t, c2v, rbits)
                 newly = jnp.logical_and(conv, ~done)
                 iters_new = jnp.where(newly, it, iters)
                 done_new = jnp.logical_or(done, conv)

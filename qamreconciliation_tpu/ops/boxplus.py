@@ -23,6 +23,7 @@ import jax.numpy as jnp
 __all__ = [
     "box_plus",
     "phi_llr",
+    "stochastic_round_bf16",
     "check_node_update",
     "check_node_update_sm",
     "minsum_extrinsic_mag",
@@ -337,3 +338,34 @@ def fb_allbutone_list(terms):
     out = [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, n - 1)] \
         + [F[n - 2]]
     return out, F[n - 1]
+
+
+def stochastic_round_bf16(x_f32, rbits_u32):
+    """Stochastically round float32 values to bfloat16.
+
+    bfloat16 is the top 16 bits of the float32 pattern, so adding a
+    uniform random 16-bit integer to the pattern and truncating the low
+    half rounds x to one of its two bf16 neighbours with probability
+    proportional to proximity — unbiased in expectation (within an
+    exponent window the float value is affine in the bit pattern; the
+    carry across a window boundary lands on the correct neighbour).
+
+    The knee-quality lever (VERDICT r4 item 4a): round-4 measurement
+    attributed the resident/dense bf16 knee-FER cost (0.58 vs f32's 0.42
+    at 3.5 dB) to accumulated c2v MESSAGE rounding BIAS — round-to-
+    nearest is deterministic per edge, so the same edges round the same
+    way every iteration; stochastic rounding decorrelates the per-
+    iteration rounding errors (the standard mitigation in reduced-
+    precision iterative algorithms).
+
+    Args:
+      x_f32: float32 array (finite; callers clamp).
+      rbits_u32: uint32 random bits, same shape.
+
+    Returns the stochastically rounded values as bfloat16.
+    """
+    import jax
+
+    b = jax.lax.bitcast_convert_type(x_f32, jnp.uint32)
+    y = (b + (rbits_u32 & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(y, jnp.float32).astype(jnp.bfloat16)

@@ -179,6 +179,14 @@ def add_qc_arg(parser: argparse.ArgumentParser):
         "when the ~0.05 dB matters",
     )
     parser.add_argument(
+        "--sr-messages", action="store_true",
+        help="QC dense flooding + bfloat16 only: STOCHASTICALLY round "
+        "the bf16 c2v message stores (ops/boxplus."
+        "stochastic_round_bf16) instead of round-to-nearest — the "
+        "knee-quality experiment attacking the measured bf16 message-"
+        "rounding FER cost (BASELINE.md round-4 knee table)",
+    )
+    parser.add_argument(
         "--lift-qc", action="store_true",
         help="Detect circulant (quasi-cyclic) structure in an EXPANDED "
         "edge-list CSV — the format real standards like DVB-S2/5G ship in — "
@@ -207,7 +215,8 @@ def load_decoder(args):
     check_phi = getattr(args, "check_phi", "phi")
     totals_dtype = getattr(args, "totals_dtype", "storage")
     ms_kw = dict(minsum_alpha=getattr(args, "minsum_alpha", None),
-                 minsum_beta=getattr(args, "minsum_beta", 0.0))
+                 minsum_beta=getattr(args, "minsum_beta", 0.0),
+                 sr_messages=getattr(args, "sr_messages", False))
     if getattr(args, "qc", False):
         from ..models.qc_decoder import QCDecoder, load_qc_csv
 
@@ -268,6 +277,12 @@ def load_decoder(args):
             "--schedule layered requires a quasi-cyclic decoder "
             "(--qc or a successful --lift-qc); the generic gather decoder "
             "is flooding-only"
+        )
+    if ms_kw.pop("sr_messages"):
+        raise SystemExit(
+            "--sr-messages requires a quasi-cyclic decoder (--qc or a "
+            "successful --lift-qc): the stochastic message rounding "
+            "lives in the QC dense check update"
         )
     dec = Decoder(vid, cid, dtype=np.dtype(args.dtype),
                   check_rule=args.check_rule, check_phi=check_phi, **ms_kw)

@@ -34,6 +34,26 @@ def main(argv):
         nbv = int(rest[k + 1])
         del rest[k:k + 2]
     z = 64800 // nbv
+    if "--dvbs2" in rest:
+        # the DVB-S2 standard-construction code (models/dvbs2.py:
+        # Annex B/C machinery + structure-exact synthetic table), as the
+        # full-wrap z=360 QC base — e.g. `--dvbs2 1/2` or `--dvbs2 3/4`
+        k = rest.index("--dvbs2")
+        rate = rest[k + 1]
+        del rest[k:k + 2]
+        from qamreconciliation_tpu.models.dvbs2 import (
+            Z, make_table, to_qc_base,
+        )
+
+        base = to_qc_base(make_table(rate, seed=0), wrap="full")
+        z = Z
+        name = f"dvbs2_{rate.replace('/', '')}_qc.csv"
+        code_csv = os.path.join(tempfile.gettempdir(), name)
+        save_qc_csv(code_csv, base, z)
+        from qamreconciliation_tpu.sims import sim_reconciliation as sr
+
+        sr.main([code_csv, "--qc", "--out", out] + rest)
+        return
     if "--irregular" in rest:
         rest.remove("--irregular")
         # rate-1/2 IRA-like mixed-degree base, same N=64800
