@@ -136,6 +136,14 @@ def log(msg):
 
 def main():
     import jax
+
+    # honor JAX_PLATFORMS=cpu from the environment: the axon TPU plugin
+    # pins the platform at import, so the env var ALONE is ignored and a
+    # "CPU" bench subprocess (e.g. tests/test_bench.py) would silently
+    # run on the remote TPU tunnel; the config update reliably forces it
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -44,6 +44,13 @@ def main():
                     help="comma list to filter config names (substring)")
     args = ap.parse_args()
 
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        # the axon plugin pins the platform at import; the env var alone
+        # is ignored (a "CPU smoke" would silently hit the TPU tunnel)
+        jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
     import jax.numpy as jnp
 
