@@ -57,7 +57,8 @@ Round-5 knobs: BENCH_LAYERED_RESIDENT=0 (disable the VMEM-resident
 layered kernel in the layered block), BENCH_RATE34=0 (skip the rate-3/4
 irregular stress probe), BENCH_STREAM_DECODE (auto|dense|resident|
 layered stream decode engine), BENCH_STREAM_REPS (min-over-reps count
-for the streaming row, default 2).
+for the streaming row, default 2), BENCH_MI=0 (skip the Monte-Carlo
+mutual-information throughput row; BENCH_MI_N sets its sample count).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -193,14 +194,19 @@ def main():
         )
 
         def resident_for(rule):
-            # auto: resident only for sum-product — its tanh-F/B kernel is
-            # 1.41x the dense path (0.664 vs 0.935 ms/iter) and wins in
-            # both regimes; min-sum's 1.25x per-iter gain is eaten at the
-            # waterfall by the chunk-granular early exit (in-kernel breaks
-            # don't save time on Mosaic: while bodies run their full trip)
+            # auto: resident for sum-product everywhere (its tanh-F/B
+            # kernel wins both regimes), and for min-sum at MANY-ROW
+            # shapes (z=360: 90 block-rows — the dense roll path is
+            # op-count-bound there, 0.681 vs resident 0.383 ms/iter,
+            # round-5 campaign 1).  At few-row shapes (z=1800) min-sum
+            # stays dense: its 1.25x per-iter resident gain is eaten at
+            # the waterfall by the chunk-granular early exit (in-kernel
+            # freeze saves no time within a chunk's full trip).
             if RESIDENT is not None:
                 return RESIDENT and SCHEDULE == "flooding"
-            return resident_fits and rule == "sumproduct"
+            if rule == "sumproduct":
+                return resident_fits
+            return resident_fits and NBV >= 90
 
         resident = resident_for(CHECK_RULE)
         resident_failed = False   # set if the step-1 resident compile dies
@@ -822,6 +828,43 @@ def main():
             f"{extras['streaming']['symbols_per_s']:.0f} symbols/s "
             f"(fer={s_res.fer:.3f})")
         del sdec, sr, sr2
+
+    # ---- 3e. Monte-Carlo mutual-information row (opt-out) ------------------
+    # The MC-MI estimator (models/mutual_information.montecarlo_information,
+    # reference: qamreconciliation/mutual_information.pyx:212-300) gets a
+    # bench row so throughput regressions are visible round over round
+    # (VERDICT r4 item 6: BASELINE config 5 froze at round 2's 894.8k
+    # samples/s with no artifact tracking it).  CLI-default math modes
+    # (ginv poly); min-over-reps.  BENCH_MI=0 skips.
+    if os.environ.get("BENCH_MI", "1") == "1" and MODE == "softening":
+        from qamreconciliation_tpu.models.mutual_information import (
+            P_xhat, montecarlo_information,
+        )
+
+        mi_n = int(os.environ.get("BENCH_MI_N", 1 << 21))
+        mi_nm = NoiseMapper(
+            pa, pa.variance * (10.0 ** (-8.0 / 10.0)) / 2.0,
+            dtype=np.float32,
+        )
+        mi_nm._ensure_ginv_poly()
+        mi_p = P_xhat(mi_nm)
+        mi_key = jax.random.key(11)
+        t0 = time.perf_counter()
+        montecarlo_information(mi_key, pa, mi_nm, mi_p, mi_n,
+                               ginv_mode="poly")
+        log(f"MC-MI compile+first: {time.perf_counter() - t0:.1f}s")
+        mi_ts = []
+        for r in range(3):
+            t1 = time.perf_counter()
+            montecarlo_information(jax.random.fold_in(mi_key, r), pa,
+                                   mi_nm, mi_p, mi_n, ginv_mode="poly")
+            mi_ts.append(time.perf_counter() - t1)
+        extras["mc_mi"] = {
+            "n": mi_n, "snr_dB": 8.0, "ginv": "poly",
+            "samples_per_s": round(mi_n / min(mi_ts), 1),
+        }
+        log(f"MC-MI: {extras['mc_mi']['samples_per_s']:.0f} samples/s")
+        del mi_nm
 
     # ---- 4. native single-core baseline -----------------------------------
     baseline_fps = None

@@ -445,12 +445,19 @@ def _pick_rowgroup(z: int, B: int, dc_max: int) -> int | None:
     the proven few-chunk regime.
 
     Policy: ungrouped when the full-degree pick already yields <= 2
-    chunks; otherwise the cap in 8..4 whose pick minimizes the chunk
-    count (largest cap on ties — fewer groups, less merge overhead),
-    kept only if it strictly beats ungrouped."""
+    chunks AND the max degree is inside the measured-safe liveness
+    regime (dc <= 10: the z=360 rate-1/2 IRA runs whole-z ungrouped at
+    0.504 ms/iter); otherwise the cap in 8..4 whose pick minimizes the
+    chunk count (largest cap on ties — fewer groups, less merge
+    overhead).  Grouping must strictly beat ungrouped on chunk count for
+    dc <= 10; for WIDER rows (the rate-3/4 regime, dc ~ 12-17 — where
+    the ungrouped per-block [dcr, ZC, B] liveness is itself the compile
+    hazard, round-5 bench: ZC=180/nzc=2 ungrouped at dc=17 fails the
+    remote Mosaic compile) a tie on chunk count is accepted too."""
     zc0 = _pick_zchunk(z, B=B, dc=dc_max)
     n0 = (z // zc0) if zc0 else None
-    if n0 is not None and n0 <= 2:
+    safe_wide = dc_max <= 10
+    if n0 is not None and n0 <= 2 and safe_wide:
         return None
     best = None                      # ((nzc, -cap), cap)
     for cap in (8, 7, 6, 5, 4):
@@ -462,8 +469,12 @@ def _pick_rowgroup(z: int, B: int, dc_max: int) -> int | None:
         key = (z // zcg, -cap)
         if best is None or key < best[0]:
             best = (key, cap)
-    if best is None or (n0 is not None and best[0][0] >= n0):
+    if best is None:
         return None
+    if n0 is not None:
+        limit = n0 - 1 if safe_wide else n0
+        if best[0][0] > limit:
+            return None
     return best[1]
 
 

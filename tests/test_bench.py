@@ -29,6 +29,7 @@ def test_bench_smoke_json_contract():
         "BENCH_SNR2": "5.0",
         "BENCH_MAXITER": "15",
         "BENCH_PROBE_ITERS": "30",
+        "BENCH_MI_N": "65536",
     })
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -53,3 +54,4 @@ def test_bench_smoke_json_contract():
     assert j["rate34_qc"]["decode_ms_per_iter"] > 0
     assert j["streaming"]["symbols_per_s"] > 0
     assert len(j["streaming"]["rep_symbols_per_s"]) == j["streaming"]["reps"]
+    assert j["mc_mi"]["samples_per_s"] > 0
