@@ -456,6 +456,12 @@ def _pick_rowgroup(z: int, B: int, dc_max: int) -> int | None:
     remote Mosaic compile) a tie on chunk count is accepted too."""
     zc0 = _pick_zchunk(z, B=B, dc=dc_max)
     n0 = (z // zc0) if zc0 else None
+    if n0 == 1:
+        # whole-z single-chunk admitted by the liveness model: measured
+        # safe ungrouped up to dc=11 (z=360 IRA 0.509 ms/iter, round-5
+        # bench) and the model refuses whole-z beyond ~dc 22 anyway;
+        # grouping here only adds merge overhead (+3% measured)
+        return None
     safe_wide = dc_max <= 10
     if n0 is not None and n0 <= 2 and safe_wide:
         return None
