@@ -971,25 +971,15 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
 
                 return ()
 
-            # IN-KERNEL early exit (round 5): a data-dependent while cond
-            # is cheap inside one kernel (vs ~0.5-1 ms per sync outside),
-            # and once every lane is done the remaining iterations are
-            # frozen no-ops — exiting early is bit-identical.  This makes
-            # the resident kernel's early exit ITERATION-exact in the
-            # waterfall regime instead of chunk-granular (the measured
-            # chunk-50 tax: all 50 iterations at mean ~20-24 converged).
-            def _cond(carry):
-                k, alldone = carry
-                return jnp.logical_and(k < n_it, alldone == 0)
-
-            def _body(carry):
-                k, _ = carry
-                one_iteration(k, ())
-                return (k + 1, jnp.min(done_s[0, :]))
-
-            jax.lax.while_loop(
-                _cond, _body, (jnp.int32(0), jnp.min(done_s[0, :]))
-            )
+            # NOTE (measured negative, round 5): wrapping this loop in a
+            # data-dependent lax.while_loop carrying an all-done scalar
+            # (in-kernel iteration-exact early exit) costs ~0.33 ms/iter
+            # of cond overhead below threshold (headline 4220 -> 2371
+            # fps) and broke the layered kernel's compile — dynamic
+            # control around the big unrolled body re-enters the
+            # round-3/4 hazard regime.  Early exit stays chunk-granular
+            # (the outer XLA while between chunks).
+            jax.lax.fori_loop(0, n_it, one_iteration, ())
 
             # ---- store state back (tslab: full ref unless doubled) ----
             stores = [
@@ -1274,19 +1264,7 @@ def bp_layered_sweeps_qc(rows, z: int, *, rule: str = "sumproduct",
                 done_s[:] = jnp.maximum(done_s[:], conv)
                 return ()
 
-            # in-kernel early exit — sweep-exact; see bp_decode_rounds_qc
-            def _cond(carry):
-                k, alldone = carry
-                return jnp.logical_and(k < n_it, alldone == 0)
-
-            def _body(carry):
-                k, _ = carry
-                one_sweep(k, ())
-                return (k + 1, jnp.min(done_s[0, :]))
-
-            jax.lax.while_loop(
-                _cond, _body, (jnp.int32(0), jnp.min(done_s[0, :]))
-            )
+            jax.lax.fori_loop(0, n_it, one_sweep, ())
 
             stores = [
                 pltpu.make_async_copy(total_s, total_out, sems.at[0]),

@@ -54,7 +54,14 @@ def main(argv):
 
         sr.main([code_csv, "--qc", "--out", out] + rest)
         return
-    if "--irregular" in rest:
+    if "--rate34" in rest:
+        rest.remove("--rate34")
+        # rate-3/4 QC-IRA (dc ~ 12-17 accumulator rows — the reference's
+        # BSC-experiment rate, reference: sims/display_bsc.py:20-22)
+        base, _, _ = make_qc_ira(nb_info=3 * nbv // 4, nb_acc=nbv // 4,
+                                 z=z, dv=3, seed=12345)
+        name = f"qc_ira34_64800_z{z}.csv"
+    elif "--irregular" in rest:
         rest.remove("--irregular")
         # rate-1/2 IRA-like mixed-degree base, same N=64800
         base, _, _ = make_qc_ira(nb_info=nbv // 2, nb_acc=nbv // 2, z=z,
