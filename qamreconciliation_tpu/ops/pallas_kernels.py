@@ -1004,6 +1004,21 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         # the chunking, so auto stays ungrouped there too
         if row_group is None:
             cap = None if z_chunk else _pick_rowgroup(z, B, dc_max)
+            # VMEM-pressure fallback: when the state alone pushes the
+            # scoped budget against the 128 MiB hardware ceiling (the
+            # real DVB-S2 rate-1/2 structure: 630 base edges -> 95 MB of
+            # state; the ungrouped kernel's temporaries overflowed by
+            # ~12 MB), force a tight row-group cap — measured working at
+            # cap 4 on that code (docs/img/wf_dvbs2_12.csv runs at
+            # ~3650 fps through it)
+            state_est = resident_vmem_bytes(
+                nb_v, nb_c, E, z, B, dtype, doubled=doubled,
+                totals_f32=totals_f32,
+            )
+            if (cap is None and not z_chunk and dc_max > 4
+                    and z % 8 == 0
+                    and state_est + 48 * 2 ** 20 > 128 * 2 ** 20):
+                cap = 4
         else:
             cap = int(row_group) or None
         if cap is not None and cap >= dc_max:
