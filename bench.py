@@ -84,7 +84,11 @@ SNR_DB = float(os.environ.get("BENCH_SNR", 3.5))
 SNR2_DB = float(os.environ.get("BENCH_SNR2", 4.0))
 MAX_ITER = int(os.environ.get("BENCH_MAXITER", 50))
 TIMED_ROUNDS = int(os.environ.get("BENCH_ROUNDS", 8))
-RPD = int(os.environ.get("BENCH_RPD", 4))
+# rounds per device dispatch: 8 since round 5 — a same-window RPD grid
+# (4/8/16 -> 2970/4086/3835 fps headline) showed the tunnel's
+# per-dispatch overhead still taxed RPD=4 by ~25-35% in congested
+# windows; 8 amortizes it without 16's over-batching
+RPD = int(os.environ.get("BENCH_RPD", 8))
 CHECK_RULE = os.environ.get("BENCH_CHECK", "sumproduct")
 # BP schedule: "flooding" (reference) | "layered" (QC-only TPU extension,
 # ~2x fewer sweeps to converge; see models/qc_decoder._build_layered)
