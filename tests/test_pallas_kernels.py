@@ -199,3 +199,20 @@ def test_qc_decoder_pallas_fallback_no_legal_blocking():
                            use_pallas=False).decode_batch(llr, synd, 6)
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_rowgroup_policy_matrix():
+    """Round-5 auto row-group policy (measured regime map, BASELINE.md):
+    whole-z single-chunk codes stay ungrouped regardless of width
+    (dc<=11 measured faster ungrouped); chunked narrow codes stay
+    ungrouped; chunked WIDE rows (dc>10) group even on a chunk-count
+    tie (ungrouped dc=17 at ZC=180 is a remote-compile failure)."""
+    from qamreconciliation_tpu.ops.pallas_kernels import _pick_rowgroup
+
+    assert _pick_rowgroup(1800, 128, 6) is None     # regular, ZC=900
+    assert _pick_rowgroup(360, 128, 6) is None      # regular whole-z
+    assert _pick_rowgroup(360, 128, 10) is None     # IRA r1/2 whole-z
+    assert _pick_rowgroup(360, 128, 11) is None     # bench 1b whole-z
+    assert _pick_rowgroup(1800, 128, 10) == 6       # r4 measured config
+    assert _pick_rowgroup(360, 128, 17) == 8        # rate-3/4 fix
+    assert _pick_rowgroup(1800, 128, 17) == 6
