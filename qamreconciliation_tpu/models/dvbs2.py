@@ -133,7 +133,8 @@ def parse_address_table(text: str, n: int, k: int,
     return Dvbs2Table(n=n, k=k, rows=rows, source=source).validate()
 
 
-def make_table(rate: str, n: int = 64800, seed: int = 0) -> Dvbs2Table:
+def make_table(rate: str, n: int = 64800, seed: int = 0,
+               girth6: bool = True) -> Dvbs2Table:
     """Structure-exact SYNTHETIC Annex-B-format table for ``rate``.
 
     Frame layout (N, K, q, rows-per-degree — hence bit/check degree
@@ -186,10 +187,117 @@ def make_table(rate: str, n: int = 64800, seed: int = 0) -> Dvbs2Table:
                 break
             rows.append([int(v) for v in x])
             pos += deg
+        if ok and girth6:
+            # the published tables are selected 4-cycle-free (expanded
+            # girth >= 6); condition the synthetic ones the same way by
+            # redrawing colliding info shifts (round 5 — this removed
+            # the measured ~1e-3 FER floor of the unconditioned tables,
+            # BASELINE.md round-5 BI-AWGN table)
+            ok = _girth6_repair(rows, q, k // Z, rng)
         if ok:
             return Dvbs2Table(n=n, k=k, rows=rows,
                               source=f"synthetic-{rate}").validate()
     raise RuntimeError("could not draw a duplicate-free table")
+
+
+def _staircase_cells(nbi: int, q: int):
+    """The accumulator's fixed base cells ``(check_block, var_block,
+    shift)`` in blocked coordinates (incl. the wrap circulant — its one
+    missing edge still leaves 359 lanes that can participate in
+    cycles)."""
+    cells = []
+    for u in range(q):
+        cells.append((u, nbi + u, 0))
+        if u > 0:
+            cells.append((u, nbi + u - 1, 0))
+    cells.append((0, nbi + q - 1, 1))
+    return cells
+
+
+def four_cycle_count(table: Dvbs2Table) -> int:
+    """Number of BLOCK-level 4-cycle witnesses in the full base graph
+    (info cells + accumulator).  Two cells in check blocks a1 != a2
+    joining the same var-block pair (v1, v2) close length-4 cycles in
+    the expanded H iff their shift differences agree mod 360; a
+    parallel pair in ONE cell closes them iff the shift difference is
+    180 (2*(b1-b2) = 0 mod 360).  Zero means expanded girth >= 6 —
+    the property the standard's published tables are selected for."""
+    q, nbi = table.q, table.k // Z
+    cells = _staircase_cells(nbi, q)
+    for g, row in enumerate(table.rows):
+        for x in row:
+            cells.append((x % q, g, x // q))
+    by_a = {}
+    for (a, v, b) in cells:
+        by_a.setdefault(a, []).append((v, b))
+    seen, bad = {}, 0
+    for a, lst in by_a.items():
+        for i in range(len(lst)):
+            for j in range(i + 1, len(lst)):
+                (v1, b1), (v2, b2) = lst[i], lst[j]
+                if v1 == v2:                       # parallel circulants
+                    if (2 * (b1 - b2)) % Z == 0:
+                        bad += 1
+                    continue
+                if v1 > v2:
+                    (v1, b1), (v2, b2) = (v2, b2), (v1, b1)
+                key = (v1, v2, (b1 - b2) % Z)
+                if key in seen and seen[key] != a:
+                    bad += 1
+                else:
+                    seen[key] = a
+    return bad
+
+
+def _girth6_repair(rows, q, nbi, rng, max_passes: int = 500):
+    """Redraw info-address SHIFTS until the block-level base graph has
+    no 4-cycles (expanded girth >= 6).  Only the redrawable info cells
+    move; the accumulator cells are the standard's fixed structure.
+    Returns True on success (rows edited in place)."""
+    for _ in range(max_passes):
+        # cell index: (row g, idx) for info; None for staircase
+        cells = [(a, v, b, None) for (a, v, b) in _staircase_cells(nbi, q)]
+        for g, row in enumerate(rows):
+            for idx, x in enumerate(row):
+                cells.append((x % q, g, x // q, (g, idx)))
+        by_a = {}
+        for c in cells:
+            by_a.setdefault(c[0], []).append(c)
+        seen = {}
+        redraw = set()
+        for a, lst in by_a.items():
+            for i in range(len(lst)):
+                for j in range(i + 1, len(lst)):
+                    (_, v1, b1, r1), (_, v2, b2, r2) = lst[i], lst[j]
+                    if v1 == v2:
+                        if (2 * (b1 - b2)) % Z == 0:
+                            redraw.add(r1 if r1 is not None else r2)
+                        continue
+                    if v1 > v2:
+                        (v1, b1, r1), (v2, b2, r2) = (v2, b2, r2), \
+                            (v1, b1, r1)
+                    key = (v1, v2, (b1 - b2) % Z)
+                    prev = seen.get(key)
+                    if prev is not None and prev[0] != a:
+                        cand = [r for r in (r1, r2, prev[1]) if r]
+                        if not cand:        # staircase-only cycle:
+                            return False    # structurally impossible
+                        redraw.add(cand[0])
+                    else:
+                        seen[key] = (a, r1 if r1 is not None else r2)
+        redraw.discard(None)
+        if not redraw:
+            return True
+        for (g, idx) in redraw:
+            x = rows[g][idx]
+            a = x % q
+            for _ in range(100):
+                nb = int(rng.integers(0, Z))
+                nx = a + q * nb
+                if nx not in rows[g]:
+                    rows[g][idx] = nx
+                    break
+    return False
 
 
 def encode(table: Dvbs2Table, info_bits) -> np.ndarray:
