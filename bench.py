@@ -37,7 +37,8 @@ Knobs: BENCH_N, BENCH_BATCH, BENCH_SNR, BENCH_SNR2, BENCH_MAXITER,
 BENCH_ROUNDS, BENCH_DTYPE, BENCH_QC=0 (generic gather decoder instead of
 QC), BENCH_BPS (4 -> 16-PAM), BENCH_MODE (softening|hard|direct),
 BENCH_SKIP_DECODE=1 / BENCH_SKIP_WATERFALL=1 (trim steps), BENCH_BASELINE_S,
-BENCH_RPD (rounds per device dispatch, lax.scan on-chip; default 4),
+BENCH_RPD (rounds per device dispatch, lax.scan on-chip; default 8
+since round 5 — the 4/8/16 same-window grid measured 2970/4086/3835),
 BENCH_CHECK (check-node rule: sumproduct [default, reference math] or
 minsum [normalized min-sum TPU extension, transcendental-free]),
 BENCH_CHECK2 (secondary rule measured alongside the headline; default
