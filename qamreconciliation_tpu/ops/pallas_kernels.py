@@ -1018,7 +1018,12 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
             if (cap is None and not z_chunk and dc_max > 4
                     and z % 8 == 0
                     and state_est + 48 * 2 ** 20 > 128 * 2 ** 20):
-                cap = 4
+                # measured per-degree: cap 4 compiles for dc<=14 (rates
+                # 1/2, 2/3, 3/4 of the DVB-S2 construction: 0.635-0.72
+                # ms/iter); the dc=22 rate-5/6 code fails at caps 4 AND
+                # 8 but compiles at 6 (0.720 ms/iter) — Mosaic's
+                # liveness response to the group split is non-monotonic
+                cap = 6 if dc_max > 14 else 4
         else:
             cap = int(row_group) or None
         if cap is not None and cap >= dc_max:
