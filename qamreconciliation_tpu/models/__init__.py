@@ -1,6 +1,7 @@
 from .alphabet import PAMAlphabet
 from .matrix import Matrix
 from .decoder import Decoder, TannerGraph
+from .dvbs2 import Dvbs2Table, make_table as make_dvbs2_table
 from .noisemapper import (
     NoiseMapper,
     NoiseDemapper,
@@ -17,4 +18,6 @@ __all__ = [
     "NoiseDemapper",
     "NoiseMapperFlipSign",
     "NoiseMapperAntiFlipSign",
+    "Dvbs2Table",
+    "make_dvbs2_table",
 ]
