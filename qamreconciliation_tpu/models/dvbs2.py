@@ -48,6 +48,7 @@ import numpy as np
 __all__ = [
     "Z", "Dvbs2Table", "make_table", "parse_address_table", "encode",
     "expanded_edges", "to_qc_base", "blocked_perms", "RATE_PROFILES",
+    "four_cycle_count",
 ]
 
 Z = 360   # the standard's universal lifting / bit-group size
