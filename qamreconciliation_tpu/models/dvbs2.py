@@ -135,7 +135,7 @@ def parse_address_table(text: str, n: int, k: int,
 
 
 def make_table(rate: str, n: int = 64800, seed: int = 0,
-               girth6: bool = True) -> Dvbs2Table:
+               girth6: bool = True, girth: int = 6) -> Dvbs2Table:
     """Structure-exact SYNTHETIC Annex-B-format table for ``rate``.
 
     Frame layout (N, K, q, rows-per-degree — hence bit/check degree
@@ -192,12 +192,42 @@ def make_table(rate: str, n: int = 64800, seed: int = 0,
             # the published tables are selected 4-cycle-free (expanded
             # girth >= 6); condition the synthetic ones the same way by
             # redrawing colliding info shifts (round 5 — this removed
-            # the measured ~1e-3 FER floor of the unconditioned tables,
-            # BASELINE.md round-5 BI-AWGN table)
+            # the measured sub-knee FER floor of the unconditioned
+            # rate-3/4 draw, BASELINE.md round 5)
             ok = _girth6_repair(rows, q, k // Z, rng)
+        if ok and girth >= 8:
+            # OPTIONAL girth-8 pass (exceeds the standard's own
+            # conditioning): break every block-level 6-cycle witness by
+            # redrawing one participating info shift, re-running the
+            # 4-cycle repair after each pass.  Typical synthetic draws
+            # carry only ~10 witnesses at rate 1/2, so this converges
+            # in a few passes.
+            for _ in range(200):
+                wits = six_cycle_witnesses(rows, q, k // Z)
+                wits = [w for w in wits if w]
+                if not wits:
+                    break
+                for w in wits:
+                    g, idx = w[int(rng.integers(0, len(w)))]
+                    a = rows[g][idx] % q
+                    for _ in range(100):
+                        nx = a + q * int(rng.integers(0, Z))
+                        if nx not in rows[g]:
+                            rows[g][idx] = nx
+                            break
+                if not _girth6_repair(rows, q, k // Z, rng):
+                    ok = False
+                    break
+            else:
+                ok = False
+            if ok and [w for w in six_cycle_witnesses(rows, q, k // Z)
+                       if w]:
+                ok = False
         if ok:
             return Dvbs2Table(n=n, k=k, rows=rows,
-                              source=f"synthetic-{rate}").validate()
+                              source=f"synthetic-{rate}"
+                                     + ("-g8" if girth >= 8 else "")
+                              ).validate()
     raise RuntimeError("could not draw a duplicate-free table")
 
 
@@ -248,6 +278,53 @@ def four_cycle_count(table: Dvbs2Table) -> int:
                 else:
                     seen[key] = a
     return bad
+
+
+def six_cycle_witnesses(rows, q, nbi):
+    """Block-level 6-cycle witnesses of the full base graph: triples of
+    cells in distinct check blocks joining a var-block triangle with
+    shift-sum ``(b12 + b23 + b31) % Z == 0`` (each witness expands to
+    z = 360 length-6 cycles in H).  Returns a list of witnesses, each a
+    list of the participating redrawable info cells ``(g, idx)`` (empty
+    for staircase-only witnesses)."""
+    cells = [(a, v, b, None) for (a, v, b) in _staircase_cells(nbi, q)]
+    for g, row in enumerate(rows):
+        for idx, x in enumerate(row):
+            cells.append((x % q, g, x // q, (g, idx)))
+    by_a = {}
+    for c in cells:
+        by_a.setdefault(c[0], []).append(c)
+    P = {}
+    for a, lst in by_a.items():
+        for i in range(len(lst)):
+            for j in range(len(lst)):
+                if i == j:
+                    continue
+                (_, v1, b1, r1), (_, v2, b2, r2) = lst[i], lst[j]
+                if v1 == v2:
+                    continue
+                P.setdefault((v1, v2), []).append((a, (b1 - b2) % Z, r1, r2))
+    neigh = {}
+    for (v1, v2) in P:
+        if v1 < v2:
+            neigh.setdefault(v1, set()).add(v2)
+            neigh.setdefault(v2, set()).add(v1)
+    out = []
+    for v1 in sorted(neigh):
+        for v2 in sorted(x for x in neigh[v1] if x > v1):
+            for v3 in sorted(x for x in (neigh[v1] & neigh[v2]) if x > v2):
+                for (a1, w12, r11, r12) in P[(v1, v2)]:
+                    for (a2, w23, r22, r23) in P[(v2, v3)]:
+                        if a2 == a1:
+                            continue
+                        for (a3, w31, r33, r31) in P[(v3, v1)]:
+                            if a3 in (a1, a2):
+                                continue
+                            if (w12 + w23 + w31) % Z == 0:
+                                out.append([r for r in
+                                            (r11, r12, r22, r23, r33, r31)
+                                            if r is not None])
+    return out
 
 
 def _girth6_repair(rows, q, nbi, rng, max_passes: int = 500):

@@ -177,3 +177,18 @@ def test_girth6_conditioning():
     # draw carries known collisions
     t_raw = make_table("3/4", seed=0, girth6=False)
     assert four_cycle_count(t_raw) > 0
+
+
+def test_girth8_conditioning_opt_in():
+    """girth=8 (opt-in, exceeds the standard's own 4-cycle-freeness)
+    breaks every block-level 6-cycle witness too."""
+    from qamreconciliation_tpu.models.dvbs2 import (
+        four_cycle_count, six_cycle_witnesses,
+    )
+
+    t = make_table("1/2", seed=0, girth=8)
+    assert t.source.endswith("-g8")
+    assert four_cycle_count(t) == 0
+    assert six_cycle_witnesses(t.rows, t.q, t.k // Z) == []
+    # frame structure invariants survive the extra conditioning
+    assert t.check_degrees() == {6: 1, 7: t.m - 1}
