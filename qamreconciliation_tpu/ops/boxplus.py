@@ -315,20 +315,20 @@ def tanhfb_extrinsic_mag(absm, axis: int):
 
 
 def fb_allbutone_list(terms):
-    """All-but-one products of a list of same-shape arrays — the single
-    source of truth for the P/Q product order, shared by
-    :func:`tanhfb_extrinsic_mag` and the resident kernels
-    (ops/pallas_kernels), so grouped/ungrouped/dense tanh-F/B paths
-    cannot silently diverge.
+    """All-but-one products of a list of same-shape arrays via forward/
+    backward prefix chains — the single source of truth for the P/Q
+    product order, shared by :func:`tanhfb_extrinsic_mag` and the
+    resident kernels (ops/pallas_kernels), so grouped/ungrouped/dense
+    tanh-F/B paths cannot silently diverge.
 
-    Round 5: computed by PAIRWISE TREE recursion instead of the serial
-    forward/backward prefix chains — same multiply count to first order
-    but log-depth dependency chains (depth 3 vs 6 at dc=6), which the
-    VPU pipelines better (the resident sum-product loop is elementwise-
-    latency-bound, BASELINE.md round-5 probes).  This reassociates the
-    f32 products — within the sum-product tier's existing tolerance (the
-    row-grouped kernel already reassociates identically on both paths
-    since both call this helper).
+    NOTE (measured negative, round 5): a pairwise-TREE recursion
+    (log-depth dependency chains, depth 3 vs 6 at dc=6) was tried on the
+    hypothesis that the VPU pipelines shorter chains better — same-window
+    attribution probe (docs/img/r5_fb_form.jsonl): tree is +2.6% SLOWER
+    at z=1800 (0.687 vs 0.670 ms/iter) and neutral at z=360 (0.567 vs
+    0.569), so the serial form stays.  Mosaic evidently schedules the
+    element-parallel chains fine; the tree's extra temporaries cost more
+    than its depth saves.
 
     Returns ``(allbutone, full)``: ``allbutone[i] = prod_{j != i}
     terms[j]`` (length-1 input gives the neutral ``[ones]``) and
@@ -337,24 +337,16 @@ def fb_allbutone_list(terms):
     n = len(terms)
     if n == 1:
         return [jnp.ones_like(terms[0])], terms[0]
-    if n == 2:
-        return [terms[1], terms[0]], terms[0] * terms[1]
-    if n == 3:
-        return (
-            [terms[1] * terms[2], terms[0] * terms[2], terms[0] * terms[1]],
-            (terms[0] * terms[1]) * terms[2],
-        )
-    pairs = [terms[2 * j] * terms[2 * j + 1] for j in range(n // 2)]
-    if n % 2:
-        pairs.append(terms[n - 1])
-    abo_p, full = fb_allbutone_list(pairs)
-    out = []
-    for j in range(n // 2):
-        out.append(terms[2 * j + 1] * abo_p[j])
-        out.append(terms[2 * j] * abo_p[j])
-    if n % 2:
-        out.append(abo_p[-1])
-    return out, full
+    F = [terms[0]]
+    for d in range(1, n):
+        F.append(F[-1] * terms[d])
+    Bk = [terms[n - 1]]
+    for d in range(n - 2, -1, -1):
+        Bk.append(Bk[-1] * terms[d])
+    Bk = Bk[::-1]
+    out = [Bk[1]] + [F[d - 1] * Bk[d + 1] for d in range(1, n - 1)] \
+        + [F[n - 2]]
+    return out, F[n - 1]
 
 
 def stochastic_round_bf16(x_f32, rbits_u32):
