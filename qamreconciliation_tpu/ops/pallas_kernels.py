@@ -484,6 +484,48 @@ def _pick_rowgroup(z: int, B: int, dc_max: int) -> int | None:
     return best[1]
 
 
+def auto_rowgroup(rows, z: int, B: int, dtype, *,
+                 doubled: bool = False, totals_f32: bool = False,
+                 z_chunk=None) -> int | None:
+    """Resolved auto row-group cap for the resident kernel: the
+    chunk-count policy (:func:`_pick_rowgroup`) plus the VMEM-pressure
+    fallback — when the resident state alone pushes the scoped budget
+    against the 128 MiB ceiling (the real DVB-S2 structures: 600-660
+    base edges -> 93-98 MB of state), a tight cap bounds the per-block
+    temporaries.  Measured per-degree: cap 4 compiles for dc <= 14
+    (rates 1/2, 2/3, 3/4: 0.635-0.72 ms/iter); the dc=22 rate-5/6 code
+    fails at caps 4 AND 8 but compiles at 6 — Mosaic's liveness
+    response to the group split is non-monotonic.  Pure function of the
+    code shape (unit-tested against the measured matrix,
+    tests/test_pallas_kernels.py)."""
+    nb_c = len(rows)
+    nb_v = max(v for row in rows for (v, _) in row) + 1
+    E = sum(len(row) for row in rows)
+    dc_max = max(len(row) for row in rows)
+    cap = None if z_chunk else _pick_rowgroup(z, B, dc_max)
+    state_est = resident_vmem_bytes(
+        nb_v, nb_c, E, z, B, dtype, doubled=doubled,
+        totals_f32=totals_f32,
+    )
+    if (cap is not None and cap > 6 and dc_max > 14
+            and state_est > 90 * 10 ** 6):
+        # measured: the dc=22 rate-5/6 construction fails the remote
+        # compile at the chunk policy's cap 8 under VMEM pressure and
+        # compiles at 6 (0.720 ms/iter)
+        return 6
+    if cap is None and not z_chunk and dc_max > 4 and z % 8 == 0:
+        # measured boundary: the benchmark codes (E=540 base edges,
+        # state 87.1 MB) compile and run UNGROUPED at both z=1800 and
+        # z=360 — an earlier +48 MiB-headroom trigger silently grouped
+        # them and cost ~8-10% (the round-5 "slow window" was partly
+        # this); the DVB-S2 constructions (E=600-660, state
+        # 93.2-98 MB) are the ones whose ungrouped temporaries
+        # overflow (139.67 MB measured).  Threshold at the midpoint.
+        if state_est > 90 * 10 ** 6:
+            cap = 6 if dc_max > 14 else 4
+    return cap
+
+
 def resident_zpad(z: int) -> int:
     """Padded row count of the resident decode state when z is not
     8-sublane-aligned (e.g. z=450): every in-kernel ref access must be
@@ -1003,27 +1045,10 @@ def bp_decode_rounds_qc(rows, z: int, *, rule: str = "sumproduct",
         # codes keep the exact ungrouped kernel); an explicit z_chunk pins
         # the chunking, so auto stays ungrouped there too
         if row_group is None:
-            cap = None if z_chunk else _pick_rowgroup(z, B, dc_max)
-            # VMEM-pressure fallback: when the state alone pushes the
-            # scoped budget against the 128 MiB hardware ceiling (the
-            # real DVB-S2 rate-1/2 structure: 630 base edges -> 95 MB of
-            # state; the ungrouped kernel's temporaries overflowed by
-            # ~12 MB), force a tight row-group cap — measured working at
-            # cap 4 on that code (docs/img/wf_dvbs2_12.csv runs at
-            # ~3650 fps through it)
-            state_est = resident_vmem_bytes(
-                nb_v, nb_c, E, z, B, dtype, doubled=doubled,
-                totals_f32=totals_f32,
-            )
-            if (cap is None and not z_chunk and dc_max > 4
-                    and z % 8 == 0
-                    and state_est + 48 * 2 ** 20 > 128 * 2 ** 20):
-                # measured per-degree: cap 4 compiles for dc<=14 (rates
-                # 1/2, 2/3, 3/4 of the DVB-S2 construction: 0.635-0.72
-                # ms/iter); the dc=22 rate-5/6 code fails at caps 4 AND
-                # 8 but compiles at 6 (0.720 ms/iter) — Mosaic's
-                # liveness response to the group split is non-monotonic
-                cap = 6 if dc_max > 14 else 4
+            # chunk-count policy + VMEM-pressure fallback (see
+            # auto_rowgroup — the pure, unit-tested decision)
+            cap = auto_rowgroup(rows, z, B, dtype, doubled=doubled,
+                                totals_f32=totals_f32, z_chunk=z_chunk)
         else:
             cap = int(row_group) or None
         if cap is not None and cap >= dc_max:

@@ -216,3 +216,33 @@ def test_rowgroup_policy_matrix():
     assert _pick_rowgroup(1800, 128, 10) == 6       # r4 measured config
     assert _pick_rowgroup(360, 128, 17) == 8        # rate-3/4 fix
     assert _pick_rowgroup(1800, 128, 17) == 6
+
+
+def test_auto_rowgroup_measured_matrix():
+    """auto_rowgroup (chunk policy + VMEM-pressure fallback) against the
+    full measured matrix: benchmark codes (state 87.1 MB) stay
+    UNGROUPED — an earlier +48 MiB-headroom trigger silently grouped
+    them for ~8-10% (round-5 postmortem) — while the DVB-S2
+    constructions (93-98 MB states) group at the measured-working caps
+    (4; 6 for the dc=22 rate-5/6 code, which fails at 8)."""
+    import jax.numpy as jnp
+
+    from qamreconciliation_tpu.models.dvbs2 import Z, make_table, to_qc_base
+    from qamreconciliation_tpu.models.qc_decoder import (
+        QCDecoder, make_qc_ira, make_qc_ldpc,
+    )
+    from qamreconciliation_tpu.ops.pallas_kernels import auto_rowgroup
+
+    def rows(base, z):
+        return QCDecoder(base, z, dtype=jnp.bfloat16)._rows
+
+    for rate, exp in (("1/2", 4), ("2/3", 4), ("3/4", 4), ("5/6", 6)):
+        base = to_qc_base(make_table(rate, seed=0), wrap="full")
+        assert auto_rowgroup(rows(base, Z), Z, 128, jnp.bfloat16) == exp, rate
+    for nbv, z in ((180, 360), (36, 1800)):
+        b, _, _ = make_qc_ldpc(nbv, z, dv=3, dc=6, seed=12345)
+        assert auto_rowgroup(rows(b, z), z, 128, jnp.bfloat16) is None
+    b, _, _ = make_qc_ira(90, 90, 360, dv=3, seed=12345)
+    assert auto_rowgroup(rows(b, 360), 360, 128, jnp.bfloat16) is None
+    b, _, _ = make_qc_ira(135, 45, 360, dv=3, seed=12345)
+    assert auto_rowgroup(rows(b, 360), 360, 128, jnp.bfloat16) == 8
