@@ -734,17 +734,31 @@ def main():
         except Exception as e:
             if not lay_res:
                 raise
-            log(f"resident layered failed ({type(e).__name__}); falling "
-                f"back to the XLA layered loop")
-            lay_res = False
-            dec3 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
-                             check_rule="minsum", schedule=sched2)
-            eng3 = ReconciliationEngine(dec3, mat, pa, batch=BATCH,
-                                        dtype=dt, llr_mode=LLR_MODE,
-                                        rounds_per_dispatch=RPD)
-            t0 = time.perf_counter()
-            eng3.run_point(MODE, SNR2_DB, MAX_ITER, BATCH, 10 ** 9, seed=0,
-                           **kw)
+            # the remote Mosaic compile 500s sporadically (measured: the
+            # identical program compiles standalone in the same window) —
+            # one fresh-engine retry before permanently downgrading the
+            # artifact's layered row to the XLA loop
+            log(f"resident layered failed ({type(e).__name__}); "
+                f"retrying once")
+            try:
+                eng3 = ReconciliationEngine(dec3, mat, pa, batch=BATCH,
+                                            dtype=dt, llr_mode=LLR_MODE,
+                                            rounds_per_dispatch=RPD)
+                t0 = time.perf_counter()
+                eng3.run_point(MODE, SNR2_DB, MAX_ITER, BATCH, 10 ** 9,
+                               seed=0, **kw)
+            except Exception as e2:
+                log(f"resident layered failed again ({type(e2).__name__}); "
+                    f"falling back to the XLA layered loop")
+                lay_res = False
+                dec3 = QCDecoder(base, z, dtype=dt, use_pallas=PALLAS,
+                                 check_rule="minsum", schedule=sched2)
+                eng3 = ReconciliationEngine(dec3, mat, pa, batch=BATCH,
+                                            dtype=dt, llr_mode=LLR_MODE,
+                                            rounds_per_dispatch=RPD)
+                t0 = time.perf_counter()
+                eng3.run_point(MODE, SNR2_DB, MAX_ITER, BATCH, 10 ** 9,
+                               seed=0, **kw)
         log(f"{sched2} round warmup: {time.perf_counter() - t0:.1f}s")
         r5 = eng3.run_point(MODE, SNR2_DB, MAX_ITER, TIMED_ROUNDS * BATCH,
                             10 ** 9, seed=2, **kw)
