@@ -833,7 +833,11 @@ def main():
         # congestion made it non-comparable round over round (3.68M vs
         # 6.05M for identical code).  Same de-noising protocol as the
         # decode probes: per-rep wall clock, report the min + all reps.
-        s_reps = max(1, int(os.environ.get("BENCH_STREAM_REPS", 2)))
+        # Default 3: the first chunked rep consistently absorbs residual
+        # warm cost (the compile warmup runs a different chunk shape), so
+        # best-of-2 really had ONE clean sample — measured rep patterns
+        # [5.73M, 7.07M] / [4.00M, 6.05M] symbols/s (bench_r5_postfix{,2}).
+        s_reps = max(1, int(os.environ.get("BENCH_STREAM_REPS", 3)))
         chunk = int(2.33 * eng.N_symb)
         ycks = [sy[a:a + chunk] for a in range(0, sx.size, chunk)]
         xcks = [sx[a:a + chunk] for a in range(0, sx.size, chunk)]
